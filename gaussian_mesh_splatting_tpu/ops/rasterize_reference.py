@@ -58,8 +58,9 @@ def _composite_scan(
     bg: jax.Array,
 ):
     """Sequential front-to-back composite over depth-sorted Gaussians."""
-    px = jnp.arange(width, dtype=jnp.float32)[None, :]
-    py = jnp.arange(height, dtype=jnp.float32)[:, None]
+    dtype = proj.mean2d.dtype
+    px = jnp.arange(width, dtype=dtype)[None, :]
+    py = jnp.arange(height, dtype=dtype)[:, None]
     tile_x = (jnp.arange(width, dtype=jnp.int32) // tile_w)[None, :]
     tile_y = (jnp.arange(height, dtype=jnp.int32) // tile_h)[:, None]
     n_tiles_x = -(-width // tile_w)
@@ -100,9 +101,9 @@ def _composite_scan(
         done = done | (terminator & ~done)
         return (T, C, D, done), None
 
-    T0 = jnp.ones((height, width), jnp.float32)
-    C0 = jnp.zeros((height, width, 3), jnp.float32)
-    D0 = jnp.zeros((height, width), jnp.float32)
+    T0 = jnp.ones((height, width), dtype)
+    C0 = jnp.zeros((height, width, 3), dtype)
+    D0 = jnp.zeros((height, width), dtype)
     done0 = jnp.zeros((height, width), bool)
     (T, C, D, _), _ = jax.lax.scan(step, (T0, C0, D0, done0), g)
     image = C + T[..., None] * bg
