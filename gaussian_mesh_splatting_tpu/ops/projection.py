@@ -144,6 +144,7 @@ def preprocess(
     cov3d_precomp: jax.Array | None = None,
     antialiasing: bool = False,
     mean2d_offset: jax.Array | None = None,
+    alive: jax.Array | None = None,
 ) -> ProjectedGaussians:
     """Full screen-space preprocessing for a batch of Gaussians.
 
@@ -187,6 +188,8 @@ def preprocess(
         color = colors
 
     valid = (depth > NEAR_CULL_Z) & det_ok
+    if alive is not None:
+        valid = valid & alive
     radius = jnp.where(valid, radius, 0.0)
     return ProjectedGaussians(
         mean2d=mean2d,

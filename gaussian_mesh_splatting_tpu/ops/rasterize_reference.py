@@ -125,6 +125,7 @@ def rasterize_reference(
     cov3d_precomp: jax.Array | None = None,
     antialiasing: bool = False,
     mean2d_offset: jax.Array | None = None,
+    alive: jax.Array | None = None,
     tile_size: tuple[int, int] = (16, 16),
 ) -> RenderOutput:
     """Render one camera view. See module docstring for semantics.
@@ -147,6 +148,7 @@ def rasterize_reference(
         cov3d_precomp=cov3d_precomp,
         antialiasing=antialiasing,
         mean2d_offset=mean2d_offset,
+        alive=alive,
     )
     depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True)
