@@ -1,0 +1,132 @@
+"""Tile binning: Gaussian -> (tile, pair) expansion with static shapes.
+
+The CUDA rasterizer builds a duplicated (tile | depth)-keyed pair list with
+a dynamic total; XLA needs static shapes, so we use a capacity-bounded pair
+buffer (`pair_capacity`) and a *gather* formulation instead of scatter:
+
+  1. per-Gaussian tile rect (shared with the oracle so binning semantics
+     are identical) and span size s_g;
+  2. exclusive cumsum -> pair offsets o_g;
+  3. pair slot p finds its Gaussian via searchsorted(o, p) and decodes its
+     tile from the local index p - o_g — pure gathers, MXU/VPU friendly;
+  4. lexicographic `lax.sort` by (tile_id, depth) with stable tie order =
+     Gaussian index, matching the CUDA 64-bit key radix sort and the
+     oracle's stable depth argsort;
+  5. per-tile [start, count) ranges via searchsorted.
+
+Overflow (total pairs > capacity) keeps the first `pair_capacity` pairs in
+Gaussian order and reports the overflow count so the driver can grow the
+buffer between jit calls.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ProjectedGaussians
+
+
+class TileBinning(NamedTuple):
+    pair_gaussian: jax.Array  # (P,) int32 source Gaussian per sorted pair
+    pair_tile: jax.Array  # (P,) int32 tile id per sorted pair (T = invalid)
+    tile_start: jax.Array  # (T,) int32 first pair index of each tile
+    tile_count: jax.Array  # (T,) int32 pair count of each tile
+    num_pairs: jax.Array  # scalar int32 valid pair count (<= P)
+    overflow: jax.Array  # scalar int32 pairs dropped due to capacity
+
+
+class AlignedBinning(NamedTuple):
+    """Chunk-aligned per-tile pair layout for the Pallas kernels.
+
+    Every tile's pair range starts at a multiple of `chunk` and is padded to
+    a multiple of `chunk` with invalid slots, so fixed-size DMA transfers
+    never straddle two tiles' ranges (required for masked-free backward
+    writes). `pair_gaussian == num_gaussians` marks padding slots.
+    """
+
+    pair_gaussian: jax.Array  # (P_al,) int32; == N for padding
+    pair_valid: jax.Array  # (P_al,) bool
+    tile_start: jax.Array  # (T,) int32, multiples of chunk
+    tile_count: jax.Array  # (T,) int32 true (unpadded) counts
+    overflow: jax.Array  # scalar int32 pairs dropped (capacity or align)
+
+
+def tile_rect(
+    mean2d: jax.Array,
+    radius: jax.Array,
+    tile_h: int,
+    tile_w: int,
+    n_tiles_y: int,
+    n_tiles_x: int,
+):
+    """Tile-rectangle [min, max) each Gaussian touches (CUDA getRect).
+
+    Returns (xmin, xmax, ymin, ymax) int32 arrays; empty rect when radius
+    is 0. Shared by the oracle and the Pallas path.
+    """
+    mx, my = mean2d[..., 0], mean2d[..., 1]
+    xmin = jnp.clip(jnp.floor((mx - radius) / tile_w), 0, n_tiles_x).astype(jnp.int32)
+    xmax = jnp.clip(
+        jnp.floor((mx + radius + tile_w - 1) / tile_w), 0, n_tiles_x
+    ).astype(jnp.int32)
+    ymin = jnp.clip(jnp.floor((my - radius) / tile_h), 0, n_tiles_y).astype(jnp.int32)
+    ymax = jnp.clip(
+        jnp.floor((my + radius + tile_h - 1) / tile_h), 0, n_tiles_y
+    ).astype(jnp.int32)
+    return xmin, xmax, ymin, ymax
+
+
+def build_tile_binning(
+    proj: ProjectedGaussians,
+    *,
+    tile_h: int,
+    tile_w: int,
+    n_tiles_y: int,
+    n_tiles_x: int,
+    pair_capacity: int,
+) -> TileBinning:
+    n_tiles = n_tiles_y * n_tiles_x
+    xmin, xmax, ymin, ymax = tile_rect(
+        proj.mean2d, proj.radius, tile_h, tile_w, n_tiles_y, n_tiles_x
+    )
+    sx = jnp.maximum(xmax - xmin, 0)
+    sy = jnp.maximum(ymax - ymin, 0)
+    span = jnp.where(proj.valid & (proj.radius > 0), sx * sy, 0)  # (N,)
+
+    offsets = jnp.cumsum(span) - span  # exclusive prefix sum (N,)
+    total = offsets[-1] + span[-1] if span.shape[0] > 0 else jnp.zeros((), jnp.int32)
+    num_pairs = jnp.minimum(total, pair_capacity)
+    overflow = jnp.maximum(total - pair_capacity, 0)
+
+    p = jnp.arange(pair_capacity, dtype=jnp.int32)
+    # g(p): last gaussian with offset <= p
+    g = jnp.searchsorted(offsets, p, side="right").astype(jnp.int32) - 1
+    g = jnp.clip(g, 0, span.shape[0] - 1)
+    local = p - offsets[g]
+    pvalid = (p < total) & (p < pair_capacity) & (local >= 0) & (local < span[g])
+
+    tx = xmin[g] + (local % jnp.maximum(sx[g], 1))
+    ty = ymin[g] + (local // jnp.maximum(sx[g], 1))
+    tile = (ty * n_tiles_x + tx).astype(jnp.int32)
+    tile = jnp.where(pvalid, tile, n_tiles)  # invalid pairs sort last
+
+    depth_key = jnp.where(pvalid, proj.depth[g], jnp.inf).astype(jnp.float32)
+
+    sorted_tile, _, sorted_g = jax.lax.sort(
+        (tile, depth_key, g), num_keys=2, is_stable=True
+    )
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    return TileBinning(
+        pair_gaussian=sorted_g,
+        pair_tile=sorted_tile,
+        tile_start=start,
+        tile_count=end - start,
+        num_pairs=num_pairs,
+        overflow=overflow,
+    )
