@@ -130,3 +130,45 @@ def build_tile_binning(
         num_pairs=num_pairs,
         overflow=overflow,
     )
+
+
+def align_binning(
+    binning: TileBinning,
+    *,
+    num_gaussians: int,
+    chunk: int,
+    aligned_capacity: int,
+) -> AlignedBinning:
+    """Re-lay the sorted pair list so each tile's range is chunk-aligned.
+
+    Gather formulation: aligned slot q belongs to the tile whose aligned
+    range contains q; its source is the tile's original range at the same
+    local offset (padding beyond the true count).
+    """
+    n_tiles = binning.tile_start.shape[0]
+    counts = binning.tile_count
+    padded = -(-counts // chunk) * chunk  # per-tile aligned size
+    aligned_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    total_aligned = aligned_start[-1] + padded[-1] if n_tiles > 0 else 0
+
+    q = jnp.arange(aligned_capacity, dtype=jnp.int32)
+    t = jnp.searchsorted(aligned_start, q, side="right").astype(jnp.int32) - 1
+    t = jnp.clip(t, 0, n_tiles - 1)
+    local = q - aligned_start[t]
+    valid = (local < counts[t]) & (q < total_aligned)
+    src = jnp.clip(binning.tile_start[t] + local, 0, binning.pair_gaussian.shape[0] - 1)
+    g = jnp.where(valid, binning.pair_gaussian[src], num_gaussians)
+
+    # tiles whose aligned range exceeds capacity lose pairs; track as overflow
+    clipped = jnp.maximum(aligned_start + padded - aligned_capacity, 0)
+    overflow = binning.overflow + jnp.sum(jnp.minimum(clipped, padded))
+    tile_count = jnp.minimum(
+        counts, jnp.clip(aligned_capacity - aligned_start, 0, None)
+    )
+    return AlignedBinning(
+        pair_gaussian=g,
+        pair_valid=valid,
+        tile_start=jnp.minimum(aligned_start, aligned_capacity),
+        tile_count=tile_count,
+        overflow=overflow,
+    )

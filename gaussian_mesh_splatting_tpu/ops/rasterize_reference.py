@@ -72,11 +72,13 @@ def _composite_scan(
         T, C, D, done = carry
         mx, my = gi.mean2d[0], gi.mean2d[1]
         a, b, c = gi.conic[0], gi.conic[1], gi.conic[2]
-        # tile rectangle the Gaussian was binned into (CUDA getRect)
-        rect_xmin = jnp.clip(jnp.floor((mx - gi.radius) / tile_w), 0, n_tiles_x).astype(jnp.int32)
-        rect_xmax = jnp.clip(jnp.floor((mx + gi.radius + tile_w - 1) / tile_w), 0, n_tiles_x).astype(jnp.int32)
-        rect_ymin = jnp.clip(jnp.floor((my - gi.radius) / tile_h), 0, n_tiles_y).astype(jnp.int32)
-        rect_ymax = jnp.clip(jnp.floor((my + gi.radius + tile_h - 1) / tile_h), 0, n_tiles_y).astype(jnp.int32)
+        # tile rectangle the Gaussian was binned into (CUDA getRect) —
+        # shared with the Pallas binning for exact parity
+        from .binning import tile_rect
+
+        rect_xmin, rect_xmax, rect_ymin, rect_ymax = tile_rect(
+            gi.mean2d, gi.radius, tile_h, tile_w, n_tiles_y, n_tiles_x
+        )
         in_rect = (
             (tile_x >= rect_xmin) & (tile_x < rect_xmax)
             & (tile_y >= rect_ymin) & (tile_y < rect_ymax)

@@ -1,0 +1,155 @@
+"""Conformance: the Pallas rasterizer must match the oracle — images and
+gradients — at the Pallas tile shape (8x128). Runs in interpret mode on the
+CPU test mesh; the same code compiles on TPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_mesh_splatting_tpu.ops.rasterize_pallas import (
+    TILE_H,
+    TILE_W,
+    rasterize_pallas,
+)
+from gaussian_mesh_splatting_tpu.ops.rasterize_reference import rasterize_reference
+
+from helpers import activated, random_scene, test_camera
+
+BG = jnp.array([0.1, 0.2, 0.3])
+
+
+def _both(scene, cam, **kw):
+    common = dict(
+        bg=BG, shs=scene["shs"], sh_degree=kw.pop("sh_degree", 2), **kw
+    )
+    out_ref = rasterize_reference(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, tile_size=(TILE_H, TILE_W), **common,
+    )
+    out_pal = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, interpret=True, **common,
+    )
+    return out_ref, out_pal
+
+
+def test_forward_matches_oracle_small():
+    scene = activated(random_scene(jax.random.key(0), n=64))
+    cam = test_camera(width=128, height=32)
+    out_ref, out_pal = _both(scene, cam)
+    np.testing.assert_allclose(
+        np.asarray(out_pal.image), np.asarray(out_ref.image), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pal.alpha), np.asarray(out_ref.alpha), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pal.depth), np.asarray(out_ref.depth), atol=2e-4
+    )
+    np.testing.assert_array_equal(np.asarray(out_pal.radii), np.asarray(out_ref.radii))
+
+
+def test_forward_matches_oracle_nonaligned_resolution():
+    # width 200 < TILE_W and not a multiple; height 50 not multiple of 8
+    scene = activated(random_scene(jax.random.key(1), n=96))
+    cam = test_camera(width=200, height=50)
+    out_ref, out_pal = _both(scene, cam)
+    np.testing.assert_allclose(
+        np.asarray(out_pal.image), np.asarray(out_ref.image), atol=2e-5
+    )
+
+
+def test_forward_dense_overlap():
+    # many overlapping gaussians exercise termination + ordering
+    scene = activated(random_scene(jax.random.key(2), n=256, spread=0.3, scale_log_mean=-1.5))
+    scene["opacities"] = jnp.clip(scene["opacities"] * 3.0, 0.0, 0.999)
+    cam = test_camera(width=128, height=64, dist=3.0)
+    out_ref, out_pal = _both(scene, cam)
+    np.testing.assert_allclose(
+        np.asarray(out_pal.image), np.asarray(out_ref.image), atol=5e-5
+    )
+
+
+def test_gradients_match_oracle():
+    scene_raw = random_scene(jax.random.key(3), n=48)
+    cam = test_camera(width=128, height=32)
+    target = jnp.zeros((32, 128, 3))
+
+    def make_loss(raster, **extra):
+        def loss_fn(params, offset):
+            out = raster(
+                params["xyz"],
+                jnp.exp(params["scales_log"]),
+                params["rotations"],
+                jax.nn.sigmoid(params["opacity_raw"]),
+                cam,
+                bg=BG,
+                shs=params["shs"],
+                sh_degree=2,
+                mean2d_offset=offset,
+                **extra,
+            )
+            # touch every output head so all grad paths are exercised
+            return (
+                jnp.mean(jnp.abs(out.image - target))
+                + 0.1 * jnp.mean(out.depth)
+                + 0.05 * jnp.mean(out.alpha)
+            )
+
+        return loss_fn
+
+    offset = jnp.zeros((48, 2))
+    import functools
+
+    loss_ref = make_loss(functools.partial(rasterize_reference, tile_size=(TILE_H, TILE_W)))
+    loss_pal = make_loss(functools.partial(rasterize_pallas, interpret=True))
+
+    g_ref, go_ref = jax.grad(loss_ref, argnums=(0, 1))(scene_raw, offset)
+    g_pal, go_pal = jax.grad(loss_pal, argnums=(0, 1))(scene_raw, offset)
+
+    for name in g_ref:
+        a, b = np.asarray(g_ref[name]), np.asarray(g_pal[name])
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b, a, atol=5e-4 * scale + 1e-7, err_msg=f"grad mismatch: {name}"
+        )
+        assert np.abs(a).max() > 0, f"oracle grad identically zero for {name}?"
+    # screen-space mean gradients (densification signal)
+    a, b = np.asarray(go_ref), np.asarray(go_pal)
+    np.testing.assert_allclose(b, a, atol=5e-4 * np.abs(a).max() + 1e-8)
+
+
+def test_pallas_under_jit_and_value_grad():
+    scene_raw = random_scene(jax.random.key(4), n=32)
+    cam = test_camera(width=128, height=16)
+
+    @jax.jit
+    def step(params):
+        def loss_fn(p):
+            out = rasterize_pallas(
+                p["xyz"], jnp.exp(p["scales_log"]), p["rotations"],
+                jax.nn.sigmoid(p["opacity_raw"]), cam,
+                bg=BG, shs=p["shs"], sh_degree=1, interpret=True,
+            )
+            return jnp.mean(out.image**2)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    v, g = step(scene_raw)
+    assert np.isfinite(float(v))
+    for name, arr in g.items():
+        assert np.all(np.isfinite(np.asarray(arr))), name
+
+
+def test_empty_and_culled_scene():
+    scene = activated(random_scene(jax.random.key(5), n=16))
+    # push everything behind the camera
+    scene["means3d"] = scene["means3d"].at[:, 2].add(-100.0)
+    cam = test_camera(width=128, height=16)
+    out = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, interpret=True,
+    )
+    img = np.asarray(out.image)
+    np.testing.assert_allclose(img, np.broadcast_to(np.asarray(BG), img.shape), atol=1e-6)
+    assert np.all(np.asarray(out.radii) == 0)
