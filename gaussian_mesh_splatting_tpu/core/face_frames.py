@@ -34,8 +34,15 @@ def _dot(v: jax.Array, u: jax.Array) -> jax.Array:
     return jnp.sum(v * u, axis=-1, keepdims=True)
 
 
+def _safe_norm(v: jax.Array, eps: float) -> jax.Array:
+    """||v|| + eps with a NaN-free gradient at v == 0 (degenerate faces:
+    plain jnp.linalg.norm has d|v|/dv = v/|v| = 0/0 there)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    return jnp.sqrt(sq + eps * eps) + eps
+
+
 def _normalize(v: jax.Array, eps: float) -> jax.Array:
-    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + eps)
+    return v / _safe_norm(v, eps)
 
 
 def face_frames(triangles: jax.Array, eps: float = 1e-8) -> FaceFrame:
@@ -57,7 +64,7 @@ def face_frames(triangles: jax.Array, eps: float = 1e-8) -> FaceFrame:
     v0 = _normalize(normals, eps)
     means = jnp.mean(triangles, axis=1)
     v1_raw = triangles[:, 1] - means
-    v1_norm = jnp.linalg.norm(v1_raw, axis=-1, keepdims=True) + eps
+    v1_norm = _safe_norm(v1_raw, eps)
     v1 = v1_raw / v1_norm
     v2_init = triangles[:, 2] - means
     v2 = v2_init - _dot(v2_init, v0) * v0 - _dot(v2_init, v1) * v1
@@ -90,7 +97,7 @@ def soup_frames(triangles: jax.Array, eps: float = 1e-8) -> FaceFrame:
     e2 = v2 - v1
     e3 = v3 - v1
     r1 = _normalize(jnp.cross(e2, e3), eps)
-    s2 = jnp.linalg.norm(e2, axis=-1, keepdims=True) + eps
+    s2 = _safe_norm(e2, eps)
     r2 = e2 / s2
     r3 = e3 - _dot(e3, r1) * r1 - _dot(e3, r2) * r2
     r3 = _normalize(r3, eps)

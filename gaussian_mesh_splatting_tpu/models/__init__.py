@@ -6,6 +6,7 @@ reference's `gaussianModel` / `gaussianModelRender` dicts
 `to_bag(state, ...) -> GaussianBag` plus a variant-specific initializer.
 """
 from . import flat, mesh, multi_mesh, points, vanilla
+from .flame_gaussian import FlameGaussianModel
 from .gaussian_bag import GaussianBag, concat_bags, features_to_shs, shs_to_features
 
 MODEL_REGISTRY = {
@@ -14,6 +15,11 @@ MODEL_REGISTRY = {
     "gs_mesh": mesh,
     "gs_multi_mesh": multi_mesh,
     "gs_points": points,  # render-only (README.md:122-125)
+    # "gs_flame" needs a FLAME rig instance: register via
+    # `register_model("gs_flame", FlameGaussianModel(rig))` after loading
+    # the rig (models/flame/decoder.py:load_flame_pickle), mirroring the
+    # reference's runtime FLAME instantiation
+    # (games/flame_splatting/scene/dataset_readers.py:57-58).
 }
 
 

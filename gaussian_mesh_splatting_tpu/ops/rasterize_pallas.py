@@ -12,15 +12,29 @@ with a TPU-native design:
     composite (Pallas, custom_vjp)     — per-tile front-to-back compositing
     background + crop (XLA)            — differentiable tail
 
-Tile shape is (8, 128) pixels — exactly one float32 VPU vreg — so each
-Gaussian step is a handful of full-width vector ops. Pair attributes are
-streamed HBM -> VMEM in `chunk`-row DMAs; per-tile ranges are chunk-aligned
-(ops/binning.py:align_binning) so backward chunk writes never straddle two
-tiles. The backward kernel re-walks pairs back-to-front using the saved
-final transmittance and last-contributor rank (the division trick of the
-CUDA backward), emits per-pair gradients to HBM, and XLA's gather-VJP
-segment-sums them onto Gaussians; projection/SH gradients then flow by
-ordinary autodiff.
+Kernel design notes (all constraints verified on v5e):
+  * Tile shape is (8, 128) pixels — one float32 VPU vreg — so every
+    per-Gaussian step is a handful of full-width vector ops.
+  * Pair attributes live in HBM as a structure-of-arrays (16, P) so
+    per-chunk DMA slices are lane-aligned (Mosaic requires 128-aligned
+    slices; an AoS (P, 16) layout is physically padded to 128 lanes and
+    unsliceable).
+  * Per-pair Gaussian evaluation is VECTORIZED over the chunk: a
+    (chunk, 8, 128) alpha tensor is computed in one shot, and only the
+    inherently sequential transmittance recurrence walks pairs one by one
+    (reading (8,128) slabs via dynamic leading-index, which Mosaic allows
+    on untiled leading dims). Color accumulation and all backward
+    reductions are then chunk-vectorized contractions.
+  * Per-tile ranges are chunk-aligned (ops/binning.py:align_binning) so
+    fixed-size DMA transfers never straddle two tiles — backward writes
+    its per-pair gradient chunks without masks or races.
+
+The backward kernel re-walks pairs back-to-front using the saved final
+transmittance and last-contributor rank (the division trick of the CUDA
+backward), reduces per-pair gradients over the pixel block via closed-form
+pixel moments (M0, Mx, My, Mxx, Mxy, Myy), writes them to HBM, and XLA's
+gather-VJP segment-sums them onto Gaussians; projection/SH gradients then
+flow by ordinary autodiff.
 
 Compositing semantics (alpha clamp 0.99, 1/255 cutoff, T<1e-4 termination
 excluding the terminator, tile-rect binning) match ops/rasterize_reference
@@ -58,6 +72,45 @@ class _CompositeConfig(NamedTuple):
     interpret: bool
 
 
+def _pixel_coords(t, n_tiles_x):
+    ty = t // n_tiles_x
+    tx = t % n_tiles_x
+    px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
+    py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_columns(buf):
+    """(16, K) VMEM block -> per-attribute (K, 1, 1) broadcastable columns."""
+    at = jnp.swapaxes(buf[:, :], 0, 1)  # (K, 16)
+    K = at.shape[0]
+
+    def col(i):
+        return at[:, i : i + 1].reshape(K, 1, 1)
+
+    return at, col
+
+
+def _alpha_matrix(col, px, py, base, count, chunk):
+    """Vectorized per-chunk Gaussian evaluation.
+
+    Returns (alpha_contrib (K,8,128) — alpha masked by every per-pair
+    condition except the sequential ones, alpha_raw (K,8,128) — unclamped
+    opacity*G for clamp-aware gradients)."""
+    mx, my = col(0), col(1)
+    ca, cb, cc = col(2), col(3), col(4)
+    op = col(5)
+    dx = mx - px[None]
+    dy = my - py[None]
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(power)
+    alpha_raw = op * G
+    alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+    pos = base + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
+    contrib = (pos < count) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    return jnp.where(contrib, alpha, 0.0), alpha_raw
+
+
 # --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------
@@ -77,61 +130,48 @@ def _fwd_kernel(cfg: _CompositeConfig):
         out_d,
         out_nc,
         buf,
+        alpha_ref,
+        w_ref,
         sem,
     ):
         t = pl.program_id(0)
         start = tile_start_ref[t]
         count = tile_count_ref[t]
-        ty = t // n_tiles_x
-        tx = t % n_tiles_x
-        px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
-        py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
-
+        px, py = _pixel_coords(t, n_tiles_x)
         n_chunks = pl.cdiv(count, chunk)
 
-        def pair_body(j, inner):
-            T, r, g, b, d, nc, done, base = inner
-            pos = base + j
-            active = pos < count
-            mx = buf[j, 0]
-            my = buf[j, 1]
-            ca = buf[j, 2]
-            cb = buf[j, 3]
-            cc = buf[j, 4]
-            op = buf[j, 5]
-            clr_r = buf[j, 6]
-            clr_g = buf[j, 7]
-            clr_b = buf[j, 8]
-            z = buf[j, 9]
-            dx = mx - px
-            dy = my - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            contrib = active & (power <= 0.0) & (alpha >= ALPHA_MIN)
-            alpha = jnp.where(contrib, alpha, 0.0)
-            test_t = T * (1.0 - alpha)
+        def seq_body(j, inner):
+            T, nc, done, base = inner
+            a = alpha_ref[j]
+            contrib = a > 0.0
+            test_t = T * (1.0 - a)
             terminator = contrib & (test_t < T_EPS)
             include = contrib & jnp.logical_not(done) & jnp.logical_not(terminator)
-            w = jnp.where(include, T * alpha, 0.0)
-            r = r + w * clr_r
-            g = g + w * clr_g
-            b = b + w * clr_b
-            d = d + w * z
+            w_ref[j] = jnp.where(include, T * a, 0.0)
             T = jnp.where(include, test_t, T)
-            nc = jnp.where(include, pos + 1, nc)
+            nc = jnp.where(include, base + j + 1, nc)
             done = jnp.logical_or(done, terminator)
-            return (T, r, g, b, d, nc, done, base)
+            return (T, nc, done, base)
 
         def chunk_body(carry):
             ci, T, r, g, b, d, nc, done = carry
             cp = pltpu.make_async_copy(
-                attrs_hbm.at[pl.ds(start + ci * chunk, chunk)], buf, sem
+                attrs_hbm.at[:, pl.ds(start + ci * chunk, chunk)], buf, sem
             )
             cp.start()
             cp.wait()
-            T, r, g, b, d, nc, done, _ = jax.lax.fori_loop(
-                0, chunk, pair_body, (T, r, g, b, d, nc, done, ci * chunk)
+            at, col = _chunk_columns(buf)
+            alpha_c, _ = _alpha_matrix(col, px, py, ci * chunk, count, chunk)
+            alpha_ref[:] = alpha_c
+            T, nc, done, _ = jax.lax.fori_loop(
+                0, chunk, seq_body, (T, nc, done, ci * chunk)
             )
+            # chunk-vectorized accumulation of color / depth
+            w = w_ref[:]
+            r = r + jnp.sum(w * col(6), axis=0)
+            g = g + jnp.sum(w * col(7), axis=0)
+            b = b + jnp.sum(w * col(8), axis=0)
+            d = d + jnp.sum(w * col(9), axis=0)
             return (ci + 1, T, r, g, b, d, nc, done)
 
         def chunk_cond(carry):
@@ -179,7 +219,9 @@ def _composite_fwd(cfg: _CompositeConfig, pair_attrs, tile_start, tile_count):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[block, block, block, block, block, block],
         scratch_shapes=[
-            pltpu.VMEM((cfg.chunk, ATTR_COLS), jnp.float32),
+            pltpu.VMEM((ATTR_COLS, cfg.chunk), jnp.float32),
+            pltpu.VMEM((cfg.chunk, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((cfg.chunk, TILE_H, TILE_W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -212,6 +254,11 @@ def _bwd_kernel(cfg: _CompositeConfig):
         g_d_ref,
         pair_grads_hbm,
         buf,
+        alpha_ref,
+        araw_ref,
+        u_ref,
+        dalpha_ref,
+        w_ref,
         gbuf,
         sem_in,
         sem_out,
@@ -219,10 +266,7 @@ def _bwd_kernel(cfg: _CompositeConfig):
         t = pl.program_id(0)
         start = tile_start_ref[t]
         count = tile_count_ref[t]
-        ty = t // n_tiles_x
-        tx = t % n_tiles_x
-        px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
-        py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
+        px, py = _pixel_coords(t, n_tiles_x)
 
         t_final = t_final_ref[:]
         nc = nc_ref[:]
@@ -234,70 +278,96 @@ def _bwd_kernel(cfg: _CompositeConfig):
 
         n_chunks = pl.cdiv(count, chunk)
 
-        def pair_body(jj, inner):
-            # jj runs 0..chunk-1; reverse order within the chunk
+        def seq_body(jj, inner):
             T, S, base = inner
-            j = chunk - 1 - jj
+            j = chunk - 1 - jj  # reverse within chunk
             pos = base + j
-            mx = buf[j, 0]
-            my = buf[j, 1]
-            ca = buf[j, 2]
-            cb = buf[j, 3]
-            cc = buf[j, 4]
-            op = buf[j, 5]
-            clr_r = buf[j, 6]
-            clr_g = buf[j, 7]
-            clr_b = buf[j, 8]
-            z = buf[j, 9]
-            dx = mx - px
-            dy = my - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            G = jnp.exp(power)
-            alpha_raw = op * G
-            alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-            contrib = (pos < count) & (power <= 0.0) & (alpha >= ALPHA_MIN)
-            included = contrib & (pos < nc)
-            alpha = jnp.where(included, alpha, 0.0)
+            a = alpha_ref[j]
+            included = (a > 0.0) & (pos < nc)
+            alpha = jnp.where(included, a, 0.0)
             one_m = 1.0 - alpha
-            # reconstruct transmittance in front of this pair
             T = jnp.where(included, T / one_m, T)
             w = jnp.where(included, T * alpha, 0.0)
-            u = clr_r * g_r + clr_g * g_g + clr_b * g_b + z * g_d
-            dalpha = jnp.where(included, T * u - S / one_m, 0.0)
+            u = u_ref[j]
+            dalpha_ref[j] = jnp.where(included, T * u - S / one_m, 0.0)
+            w_ref[j] = w
             S = S + w * u
-            unclamped = included & (alpha_raw < ALPHA_MAX)
-            dpow = jnp.where(unclamped, dalpha * alpha_raw, 0.0)
-            dop = jnp.where(unclamped, dalpha * G, 0.0)
-
-            gbuf[j, 0] = jnp.sum(dpow * -(ca * dx + cb * dy))  # d mean_x
-            gbuf[j, 1] = jnp.sum(dpow * -(cc * dy + cb * dx))  # d mean_y
-            gbuf[j, 2] = jnp.sum(dpow * (-0.5 * dx * dx))  # d conic_a
-            gbuf[j, 3] = jnp.sum(dpow * (-dx * dy))  # d conic_b
-            gbuf[j, 4] = jnp.sum(dpow * (-0.5 * dy * dy))  # d conic_c
-            gbuf[j, 5] = jnp.sum(dop)  # d opacity
-            gbuf[j, 6] = jnp.sum(w * g_r)  # d color r
-            gbuf[j, 7] = jnp.sum(w * g_g)
-            gbuf[j, 8] = jnp.sum(w * g_b)
-            gbuf[j, 9] = jnp.sum(w * g_d)  # d depth
-            gbuf[j, 10] = 0.0
-            gbuf[j, 11] = 0.0
-            gbuf[j, 12] = 0.0
-            gbuf[j, 13] = 0.0
-            gbuf[j, 14] = 0.0
-            gbuf[j, 15] = 0.0
             return (T, S, base)
 
         def chunk_body(carry):
-            cj, T, S = carry  # cj counts processed chunks (reverse)
+            cj, T, S = carry
             ci = n_chunks - 1 - cj
             cp_in = pltpu.make_async_copy(
-                attrs_hbm.at[pl.ds(start + ci * chunk, chunk)], buf, sem_in
+                attrs_hbm.at[:, pl.ds(start + ci * chunk, chunk)], buf, sem_in
             )
             cp_in.start()
             cp_in.wait()
-            T, S, _ = jax.lax.fori_loop(0, chunk, pair_body, (T, S, ci * chunk))
+            at, col = _chunk_columns(buf)
+            alpha_c, alpha_raw = _alpha_matrix(col, px, py, ci * chunk, count, chunk)
+            alpha_ref[:] = alpha_c
+            araw_ref[:] = alpha_raw
+            # U_j = c_j . gC + z_j gD, vectorized over the chunk
+            u_ref[:] = (
+                col(6) * g_r[None]
+                + col(7) * g_g[None]
+                + col(8) * g_b[None]
+                + col(9) * g_d[None]
+            )
+            T, S, _ = jax.lax.fori_loop(0, chunk, seq_body, (T, S, ci * chunk))
+
+            # ---- chunk-vectorized per-pair gradient reductions ----------
+            dalpha = dalpha_ref[:]
+            w = w_ref[:]
+            unclamped = araw_ref[:] < ALPHA_MAX
+            dpow = jnp.where(unclamped, dalpha * araw_ref[:], 0.0)
+
+            def red(x):
+                return jnp.sum(x, axis=(1, 2)).reshape(chunk, 1)
+
+            m0 = red(dpow)
+            mx_m = red(dpow * px[None])
+            my_m = red(dpow * py[None])
+            mxx = red(dpow * (px * px)[None])
+            mxy = red(dpow * (px * py)[None])
+            myy = red(dpow * (py * py)[None])
+
+            at2 = jnp.swapaxes(buf[:, :], 0, 1)  # (K, 16)
+            mxc = at2[:, 0:1]
+            myc = at2[:, 1:2]
+            ca = at2[:, 2:3]
+            cb = at2[:, 3:4]
+            cc = at2[:, 4:5]
+            op = at2[:, 5:6]
+
+            sdx = mxc * m0 - mx_m  # sum dpow * dx
+            sdy = myc * m0 - my_m
+            sdxx = mxc * mxc * m0 - 2.0 * mxc * mx_m + mxx
+            sdyy = myc * myc * m0 - 2.0 * myc * my_m + myy
+            sdxy = mxc * myc * m0 - mxc * my_m - myc * mx_m + mxy
+
+            d_mx = -(ca * sdx + cb * sdy)
+            d_my = -(cc * sdy + cb * sdx)
+            d_ca = -0.5 * sdxx
+            d_cb = -sdxy
+            d_cc = -0.5 * sdyy
+            # dop = sum dalpha * G = (sum dpow) / op  (dpow = dalpha*op*G)
+            d_op = jnp.where(op > 0.0, m0 / jnp.where(op > 0.0, op, 1.0), 0.0)
+            d_cr = red(w * g_r[None])
+            d_cg = red(w * g_g[None])
+            d_cb_col = red(w * g_b[None])
+            d_z = red(w * g_d[None])
+            zero = jnp.zeros_like(m0)
+
+            grads = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_cr, d_cg, d_cb_col, d_z,
+                 zero, zero, zero, zero, zero, zero],
+                axis=1,
+            )  # (K, 16)
+            gbuf[:, :] = jnp.swapaxes(grads, 0, 1)  # (16, K)
             cp_out = pltpu.make_async_copy(
-                gbuf, pair_grads_hbm.at[pl.ds(start + ci * chunk, chunk)], sem_out
+                gbuf,
+                pair_grads_hbm.at[:, pl.ds(start + ci * chunk, chunk)],
+                sem_out,
             )
             cp_out.start()
             cp_out.wait()
@@ -319,14 +389,14 @@ def _composite_bwd(
     n_tiles = cfg.n_tiles_y * cfg.n_tiles_x
     imap = _tile_index_map(cfg.n_tiles_x)
     block = pl.BlockSpec((TILE_H, TILE_W), imap)
-    block_i = pl.BlockSpec((TILE_H, TILE_W), imap)
+    mat = (cfg.chunk, TILE_H, TILE_W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # attrs
+            pl.BlockSpec(memory_space=pl.ANY),  # attrs (16, P)
             block,  # t_final
-            block_i,  # nc
+            block,  # nc
             block,  # g_r
             block,  # g_g
             block,  # g_b
@@ -335,8 +405,13 @@ def _composite_bwd(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((cfg.chunk, ATTR_COLS), jnp.float32),
-            pltpu.VMEM((cfg.chunk, ATTR_COLS), jnp.float32),
+            pltpu.VMEM((ATTR_COLS, cfg.chunk), jnp.float32),
+            pltpu.VMEM(mat, jnp.float32),  # alpha
+            pltpu.VMEM(mat, jnp.float32),  # alpha_raw
+            pltpu.VMEM(mat, jnp.float32),  # U
+            pltpu.VMEM(mat, jnp.float32),  # dalpha
+            pltpu.VMEM(mat, jnp.float32),  # w
+            pltpu.VMEM((ATTR_COLS, cfg.chunk), jnp.float32),  # grads out
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -345,7 +420,7 @@ def _composite_bwd(
         _bwd_kernel(cfg),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((cfg.pair_capacity_aligned, ATTR_COLS), jnp.float32)
+            jax.ShapeDtypeStruct((ATTR_COLS, cfg.pair_capacity_aligned), jnp.float32)
         ],
         interpret=cfg.interpret,
     )(tile_start, tile_count, pair_attrs, t_final, nc, g_r, g_g, g_b, g_t, g_d)
@@ -463,7 +538,8 @@ def rasterize_pallas(
         binning, num_gaussians=n, chunk=chunk, aligned_capacity=aligned_capacity
     )
 
-    # per-Gaussian attribute rows (+1 zero row for padding slots)
+    # per-Gaussian attribute rows (+1 zero row for padding slots), gathered
+    # to pair order then laid out SoA (16, P) for lane-aligned DMA slices
     rows = jnp.concatenate(
         [
             proj.mean2d,
@@ -476,7 +552,7 @@ def rasterize_pallas(
         axis=1,
     )
     attr = jnp.concatenate([rows, jnp.zeros((1, ATTR_COLS), rows.dtype)], axis=0)
-    pair_attrs = attr[aligned.pair_gaussian]
+    pair_attrs = attr[aligned.pair_gaussian].T  # (16, P_al)
 
     cfg = _CompositeConfig(
         hp=hp,
