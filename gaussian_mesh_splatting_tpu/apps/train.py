@@ -1,0 +1,221 @@
+"""Training CLI — the equivalent of the reference's `train.py`.
+
+Usage:
+  python -m gaussian_mesh_splatting_tpu.apps.train \
+      --gs_type gs_mesh -s <dataset> -m <output> [--eval] ...
+
+Flow (reference train.py:39-157, made functional): Scene -> init state ->
+jitted train step per camera (or camera batch under DP) -> periodic eval,
+snapshot, checkpoint, densification (gs / gs_flat only, train.py:129).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("train")
+    # ModelParams (arguments/__init__.py:47-62)
+    p.add_argument("--gs_type", default="gs",
+                   choices=["gs", "gs_flat", "gs_mesh", "gs_multi_mesh", "gs_flame"])
+    p.add_argument("--source_path", "-s", required=True)
+    p.add_argument("--model_path", "-m", required=True)
+    p.add_argument("--images", "-i", default="images")
+    p.add_argument("--resolution", "-r", type=int, default=-1)
+    p.add_argument("--white_background", "-w", action="store_true")
+    p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--num_splats", type=int, default=2)
+    p.add_argument("--meshes", nargs="*", default=None)
+    p.add_argument("--flame_model", default=None, help="path to flame pickle")
+    # OptimizationParams overrides (arguments/__init__.py:72-91)
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--lambda_dssim", type=float, default=None)
+    p.add_argument("--densify_grad_threshold", type=float, default=None)
+    p.add_argument("--random_background", action="store_true")
+    # control (train.py:226-241)
+    p.add_argument("--test_iterations", nargs="+", type=int,
+                   default=[7_000, 20_000, 30_000, 60_000, 90_000])
+    p.add_argument("--save_iterations", nargs="+", type=int,
+                   default=[7_000, 20_000, 30_000, 60_000, 90_000])
+    p.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    p.add_argument("--start_checkpoint", default=None)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard cameras over all local devices")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "pallas", "reference"])
+    p.add_argument("--capacity_mult", type=float, default=4.0,
+                   help="densify buffer headroom over initial point count")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ..io.checkpoint import restore_checkpoint, save_checkpoint, snapshot_dir
+    from ..io.config_io import save_cfg
+    from ..io.snapshots import save_snapshot
+    from ..models import MODEL_REGISTRY
+    from ..scene import Scene
+    from ..train import (
+        densify_and_prune,
+        make_eval_render,
+        make_train_state,
+        make_train_step,
+        one_up_sh_degree,
+        optimization_config,
+        psnr,
+        reset_opacity,
+    )
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "reference"
+
+    flame_rig = None
+    if args.gs_type == "gs_flame":
+        from ..models.flame.decoder import load_flame_pickle
+        from ..models.flame_gaussian import FlameGaussianModel
+
+        assert args.flame_model, "--flame_model <flame2023.pkl> required for gs_flame"
+        flame_rig = load_flame_pickle(args.flame_model)
+        model = FlameGaussianModel(flame_rig)
+    else:
+        model = MODEL_REGISTRY[args.gs_type]
+
+    overrides = {
+        k: getattr(args, k)
+        for k in ["iterations", "lambda_dssim", "densify_grad_threshold"]
+        if getattr(args, k) is not None
+    }
+    if args.random_background:
+        overrides["random_background"] = True
+    cfg = optimization_config(args.gs_type, **overrides)
+
+    scene = Scene(
+        args.source_path,
+        args.gs_type,
+        model_path=args.model_path,
+        white_background=args.white_background,
+        eval=args.eval,
+        resolution=args.resolution,
+        num_splats=args.num_splats,
+        meshes=args.meshes,
+        flame_rig=flame_rig,
+        seed=args.seed,
+    )
+    densify = getattr(cfg, "densify", False)
+    n0 = len(scene.scene_info.point_cloud.points)
+    capacity = int(n0 * args.capacity_mult) if densify else None
+    mstate = scene.init_model_state(model, sh_degree=args.sh_degree, capacity=capacity)
+    tstate, tx = make_train_state(args.gs_type, mstate, cfg, scene.cameras_extent)
+    if args.start_checkpoint:
+        tstate = restore_checkpoint(args.start_checkpoint, tstate)
+        print(f"resumed from {args.start_checkpoint} at step {int(tstate.step)}")
+
+    save_cfg(args.model_path, {
+        "gs_type": args.gs_type, "source_path": os.path.abspath(args.source_path),
+        "model_path": args.model_path, "images": args.images,
+        "resolution": args.resolution, "white_background": args.white_background,
+        "sh_degree": args.sh_degree, "eval": args.eval,
+        "num_splats": args.num_splats, "meshes": args.meshes,
+        "flame_model": args.flame_model,
+    })
+
+    step_fn = make_train_step(model, tx, cfg, args.sh_degree, backend=backend)
+    eval_fn = make_eval_render(model, args.sh_degree, backend=backend)
+
+    bg_color = jnp.ones(3) if args.white_background else jnp.zeros(3)
+    rng = random.Random(args.seed)
+    np_rng = np.random.default_rng(args.seed)
+    key = jax.random.key(args.seed)
+
+    cams = scene.train_cameras
+    order: list[int] = []
+    metrics_log = open(os.path.join(args.model_path, "metrics.jsonl"), "a")
+    t_start = time.time()
+    ema_loss = None
+
+    start_iter = int(tstate.step)
+    for it in range(start_iter + 1, cfg.iterations + 1):
+        if it % 1000 == 0:
+            tstate = one_up_sh_degree(tstate, args.sh_degree)
+        if not order:
+            order = list(range(len(cams)))
+            rng.shuffle(order)
+        cam, gt = cams[order.pop()]
+        bg = jnp.asarray(np_rng.random(3), jnp.float32) if cfg.random_background else bg_color
+        tstate, metrics = step_fn(tstate, cam, jnp.asarray(gt), bg)
+
+        if densify and it < cfg.densify_until_iter:
+            if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
+                size_threshold = 20.0 if it > cfg.opacity_reset_interval else 0.0
+                key, sub = jax.random.split(key)
+                tstate, info = densify_and_prune(
+                    tstate, sub,
+                    grad_threshold=cfg.densify_grad_threshold,
+                    min_opacity=cfg.min_opacity,
+                    extent=scene.cameras_extent,
+                    percent_dense=cfg.percent_dense,
+                    size_threshold=size_threshold,
+                    scaling_cols=2 if args.gs_type == "gs_flat" else 3,
+                )
+                if not args.quiet and int(info["overflow"]) > 0:
+                    print(f"[it {it}] densify overflow: {int(info['overflow'])} dropped")
+            if it % cfg.opacity_reset_interval == 0 or (
+                args.white_background and it == cfg.densify_from_iter
+            ):
+                tstate = reset_opacity(tstate)
+
+        loss = float(metrics["loss"])
+        ema_loss = loss if ema_loss is None else 0.6 * loss + 0.4 * ema_loss
+        if not args.quiet and (it % 100 == 0 or it == 1):
+            print(f"[it {it}/{cfg.iterations}] loss {ema_loss:.5f} "
+                  f"psnr {float(metrics['psnr']):.2f} "
+                  f"({(time.time()-t_start):.0f}s)")
+
+        if it in args.test_iterations and scene.test_cameras:
+            vals = []
+            for tc, tgt in scene.test_cameras:
+                img = eval_fn(tstate, tc, bg_color)
+                vals.append(float(psnr(img, jnp.asarray(tgt))))
+            test_psnr = float(np.mean(vals))
+            print(f"[it {it}] eval: test PSNR {test_psnr:.2f}")
+            metrics_log.write(json.dumps({"it": it, "test_psnr": test_psnr}) + "\n")
+            metrics_log.flush()
+
+        if it in args.save_iterations:
+            out_dir = snapshot_dir(args.model_path, it)
+            save_snapshot(args.gs_type, model, tstate.model_state(), out_dir)
+            print(f"[it {it}] saved snapshot to {out_dir}")
+
+        if it in args.checkpoint_iterations:
+            save_checkpoint(os.path.join(args.model_path, f"chkpnt{it}"), tstate)
+            print(f"[it {it}] checkpoint saved")
+
+        metrics_log.write(json.dumps({"it": it, "loss": loss}) + "\n") if it % 500 == 0 else None
+
+    # final snapshot if not already saved
+    if cfg.iterations not in args.save_iterations:
+        save_snapshot(args.gs_type, model, tstate.model_state(),
+                      snapshot_dir(args.model_path, cfg.iterations))
+    metrics_log.close()
+    print(f"training done in {time.time()-t_start:.0f}s")
+    return tstate
+
+
+if __name__ == "__main__":
+    main()

@@ -156,7 +156,9 @@ def _fwd_kernel(cfg: _CompositeConfig):
         def chunk_body(carry):
             ci, T, r, g, b, d, nc, done = carry
             cp = pltpu.make_async_copy(
-                attrs_hbm.at[:, pl.ds(start + ci * chunk, chunk)], buf, sem
+                attrs_hbm.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
+                buf,
+                sem,
             )
             cp.start()
             cp.wait()
@@ -298,7 +300,9 @@ def _bwd_kernel(cfg: _CompositeConfig):
             cj, T, S = carry
             ci = n_chunks - 1 - cj
             cp_in = pltpu.make_async_copy(
-                attrs_hbm.at[:, pl.ds(start + ci * chunk, chunk)], buf, sem_in
+                attrs_hbm.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
+                buf,
+                sem_in,
             )
             cp_in.start()
             cp_in.wait()
@@ -366,7 +370,7 @@ def _bwd_kernel(cfg: _CompositeConfig):
             gbuf[:, :] = jnp.swapaxes(grads, 0, 1)  # (16, K)
             cp_out = pltpu.make_async_copy(
                 gbuf,
-                pair_grads_hbm.at[:, pl.ds(start + ci * chunk, chunk)],
+                pair_grads_hbm.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
                 sem_out,
             )
             cp_out.start()
