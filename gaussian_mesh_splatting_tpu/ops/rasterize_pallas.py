@@ -141,20 +141,22 @@ def _fwd_kernel(cfg: _CompositeConfig):
         n_chunks = pl.cdiv(count, chunk)
 
         def seq_body(j, inner):
+            # `done` is a float 0/1 mask: vector-bool loop carries do not
+            # legalize in Mosaic's scf lowering
             T, nc, done, base = inner
             a = alpha_ref[j]
             contrib = a > 0.0
             test_t = T * (1.0 - a)
             terminator = contrib & (test_t < T_EPS)
-            include = contrib & jnp.logical_not(done) & jnp.logical_not(terminator)
+            include = contrib & (done == 0.0) & jnp.logical_not(terminator)
             w_ref[j] = jnp.where(include, T * a, 0.0)
             T = jnp.where(include, test_t, T)
             nc = jnp.where(include, base + j + 1, nc)
-            done = jnp.logical_or(done, terminator)
+            done = jnp.maximum(done, terminator.astype(jnp.float32))
             return (T, nc, done, base)
 
         def chunk_body(carry):
-            ci, T, r, g, b, d, nc, done = carry
+            ci, alldone, T, r, g, b, d, nc, done = carry
             cp = pltpu.make_async_copy(
                 attrs_hbm.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
                 buf,
@@ -174,24 +176,28 @@ def _fwd_kernel(cfg: _CompositeConfig):
             g = g + jnp.sum(w * col(7), axis=0)
             b = b + jnp.sum(w * col(8), axis=0)
             d = d + jnp.sum(w * col(9), axis=0)
-            return (ci + 1, T, r, g, b, d, nc, done)
+            # early-exit flag computed in the body: reductions inside the
+            # while condition region do not legalize
+            alldone = jnp.min(done) > 0.0
+            return (ci + 1, alldone, T, r, g, b, d, nc, done)
 
         def chunk_cond(carry):
-            ci, T, r, g, b, d, nc, done = carry
-            return (ci < n_chunks) & jnp.logical_not(jnp.all(done))
+            ci, alldone, *_ = carry
+            return (ci < n_chunks) & jnp.logical_not(alldone)
 
         shape = (TILE_H, TILE_W)
         init = (
             jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool),
             jnp.ones(shape, jnp.float32),
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.int32),
-            jnp.zeros(shape, bool),
+            jnp.zeros(shape, jnp.float32),
         )
-        _, T, r, g, b, d, nc, _ = jax.lax.while_loop(chunk_cond, chunk_body, init)
+        _, _, T, r, g, b, d, nc, _ = jax.lax.while_loop(chunk_cond, chunk_body, init)
         out_r[:] = r
         out_g[:] = g
         out_b[:] = b
