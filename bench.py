@@ -1,0 +1,90 @@
+"""Benchmark driver: pixels/s/chip for a full fwd+bwd rasterize step on the
+flagship workload (100k Gaussians, 800x800, SH degree 3 — the gs/gs_mesh
+training regime).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference trains gs_flat on hotdog (~800x800) in ~10 min on
+an RTX 2070 (README.md:536-538, BASELINE.md) => 30_000 iters * 640_000
+pixels / 600 s ~= 32 M fwd+bwd pixels/s. vs_baseline = value / 32e6.
+"""
+import json
+import sys
+import time
+
+BASELINE_PIXELS_PER_S = 32e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from gaussian_mesh_splatting_tpu.core import make_camera
+    from gaussian_mesh_splatting_tpu.train.loss import photometric_loss
+
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "reference"
+    n = 100_000 if on_tpu else 256
+    width = height = 800 if on_tpu else 128
+
+    import numpy as np
+
+    from gaussian_mesh_splatting_tpu.renderer import render
+    from gaussian_mesh_splatting_tpu.models.gaussian_bag import GaussianBag
+
+    k = jax.random.split(jax.random.key(0), 6)
+    xyz = jax.random.normal(k[0], (n, 3)) * 0.5
+    scales_log = jax.random.normal(k[1], (n, 3)) * 0.3 - 2.5
+    q = jax.random.normal(k[2], (n, 4))
+    opacity_raw = jax.random.normal(k[3], (n, 1))
+    shs = jnp.concatenate(
+        [jax.random.uniform(k[4], (n, 3, 1)) * 2 - 0.5,
+         jax.random.normal(k[5], (n, 3, 15)) * 0.01], axis=-1
+    )
+    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 4.0]), 0.8, 0.8, width, height)
+    target = jnp.zeros((height, width, 3))
+    bg = jnp.zeros(3)
+    params = dict(xyz=xyz, scales_log=scales_log, q=q, opacity_raw=opacity_raw, shs=shs)
+
+    @jax.jit
+    def train_like_step(params):
+        def loss_fn(p, offset):
+            bag = GaussianBag(
+                xyz=p["xyz"],
+                scaling=jnp.exp(p["scales_log"]),
+                rotation=p["q"] / jnp.linalg.norm(p["q"], axis=-1, keepdims=True),
+                opacity=jax.nn.sigmoid(p["opacity_raw"]),
+                shs=p["shs"],
+                alive=jnp.ones((n,), bool),
+            )
+            out = render(bag, cam, bg, sh_degree=3, backend=backend,
+                         mean2d_offset=offset)
+            total, _ = photometric_loss(out.image, target, 0.2)
+            return total
+        offset = jnp.zeros((n, 2), jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, offset)
+        return loss, grads
+
+    # warmup/compile
+    loss, grads = train_like_step(params)
+    jax.block_until_ready(loss)
+
+    iters = 10 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = train_like_step(params)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+
+    pixels_per_s = width * height / dt
+    print(json.dumps({
+        "metric": "pixels_per_s_per_chip_fwd_bwd",
+        "value": round(pixels_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,7 @@ def create_dummy_mesh(args) -> None:
     rhs = 0.5 * np.stack([sq(b) - sq(a), sq(c) - sq(a), sq(d) - sq(a)], axis=1)
     ok = np.abs(np.linalg.det(A)) > 1e-12
     centers = np.zeros((simplices.shape[0], 3))
-    centers[ok] = np.linalg.solve(A[ok], rhs[ok])
+    centers[ok] = np.linalg.solve(A[ok], rhs[ok][..., None])[..., 0]
     radius = np.linalg.norm(centers - a, axis=1)
     keep = ok & (radius < args.alpha)
     # boundary faces: faces appearing exactly once among kept tets
