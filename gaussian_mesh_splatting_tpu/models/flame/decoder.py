@@ -35,6 +35,8 @@ class FlameRig(NamedTuple):
     parents: tuple  # static
     lmk_faces_idx: np.ndarray | None  # (L,) static landmarks
     lmk_bary_coords: np.ndarray | None  # (L, 3)
+    dynamic_lmk_faces_idx: np.ndarray | None = None  # (79, Lc) contour
+    dynamic_lmk_bary_coords: np.ndarray | None = None  # (79, Lc, 3)
 
 
 def _dense(x) -> np.ndarray:
@@ -103,6 +105,54 @@ def make_random_flame_like_rig(
     return FlameRig(model, FLAME_PARENTS, None, None)
 
 
+def load_dynamic_landmarks(rig: FlameRig, path: str) -> "FlameRig":
+    """Attach the dynamic neck-contour embedding (FLAME.py:134-149).
+
+    The .npy holds {lmk_face_idx (79, L), lmk_b_coords (79, L, 3)} indexed
+    by the discretized neck yaw angle."""
+    data = np.load(path, allow_pickle=True, encoding="latin1")[()]
+    return rig._replace(
+        dynamic_lmk_faces_idx=np.asarray(data["lmk_face_idx"]).astype(np.int64),
+        dynamic_lmk_bary_coords=np.asarray(data["lmk_b_coords"], np.float32),
+    )
+
+
+def _rot_mat_to_yaw_euler(R: jax.Array) -> jax.Array:
+    """smplx rot_mat_to_euler: the y-rotation extraction used for contour
+    selection. (B, 3, 3) -> (B,)."""
+    sy = jnp.sqrt(R[:, 0, 0] * R[:, 0, 0] + R[:, 1, 0] * R[:, 1, 0])
+    return jnp.arctan2(-R[:, 2, 0], sy)
+
+
+def find_dynamic_lmk_idx_and_bcoords(
+    rig: FlameRig,
+    full_pose: jax.Array,  # (B, J*3)
+    dynamic_lmk_faces_idx: jax.Array,  # (A, L)
+    dynamic_lmk_bary_coords: jax.Array,  # (A, L, 3)
+) -> tuple[jax.Array, jax.Array]:
+    """Neck-yaw-dependent contour landmark selection (FLAME.py:159-202),
+    branchless: the angle-bucket index is computed with jnp.where instead
+    of the reference's masked integer algebra."""
+    B = full_pose.shape[0]
+    # neck kinematic chain: neck joint (idx 1) up to the root
+    chain = []
+    cur = 1
+    while cur != -1:
+        chain.append(cur)
+        cur = rig.parents[cur]
+    aa = full_pose.reshape(B, -1, 3)[:, jnp.asarray(chain, jnp.int32)]
+    rots = batch_rodrigues(aa.reshape(-1, 3)).reshape(B, len(chain), 3, 3)
+    rel = jnp.broadcast_to(jnp.eye(3, dtype=full_pose.dtype), (B, 3, 3))
+    for i in range(len(chain)):
+        rel = rots[:, i] @ rel
+    y_deg = jnp.clip(-_rot_mat_to_yaw_euler(rel) * 180.0 / jnp.pi, a_max=39.0)
+    y = jnp.round(y_deg).astype(jnp.int32)
+    neg = y < 0
+    extreme = y < -39
+    y_idx = jnp.where(neg, jnp.where(extreme, 78, 39 - y), y)
+    return dynamic_lmk_faces_idx[y_idx], dynamic_lmk_bary_coords[y_idx]
+
+
 def flame_forward(
     rig: FlameRig,
     shape_params: jax.Array,  # (B, n_shape<=300)
@@ -156,6 +206,14 @@ def flame_forward(
             jnp.asarray(rig.lmk_bary_coords)[None],
             (B, *rig.lmk_bary_coords.shape),
         )
+        if rig.dynamic_lmk_faces_idx is not None:
+            dyn_idx, dyn_b = find_dynamic_lmk_idx_and_bcoords(
+                rig, full_pose,
+                jnp.asarray(rig.dynamic_lmk_faces_idx, jnp.int32),
+                jnp.asarray(rig.dynamic_lmk_bary_coords),
+            )
+            lmk_idx = jnp.concatenate([dyn_idx, lmk_idx], axis=1)
+            lmk_b = jnp.concatenate([dyn_b, lmk_b], axis=1)
         landmarks = vertices2landmarks(vertices, m.faces, lmk_idx, lmk_b)
     if transl is not None:
         vertices = vertices + transl[:, None, :]
