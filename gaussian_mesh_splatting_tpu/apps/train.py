@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "pallas", "reference"])
     p.add_argument("--capacity_mult", type=float, default=4.0,
                    help="densify buffer headroom over initial point count")
+    p.add_argument("--ip", default="127.0.0.1", help="network GUI host")
+    p.add_argument("--port", type=int, default=0,
+                   help="network GUI port (0 disables; reference default 6009)")
+    p.add_argument("--profile_steps", default=None,
+                   help="START:STOP step range to capture an XProf trace")
     return p
 
 
@@ -143,14 +148,41 @@ def main(argv=None):
     np_rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
 
+    from ..utils.profiling import MetricsLogger, StepTimer
+    from . import network_gui
+
     cams = scene.train_cameras
     order: list[int] = []
-    metrics_log = open(os.path.join(args.model_path, "metrics.jsonl"), "a")
+    logger = MetricsLogger(args.model_path, tensorboard=True)
+    timer = StepTimer()
     t_start = time.time()
     ema_loss = None
+    if args.port:
+        network_gui.init(args.ip, args.port)
+    profile_range = None
+    if args.profile_steps:
+        lo, hi = args.profile_steps.split(":")
+        profile_range = (int(lo), int(hi))
 
     start_iter = int(tstate.step)
     for it in range(start_iter + 1, cfg.iterations + 1):
+        if profile_range and it == profile_range[0]:
+            jax.profiler.start_trace(os.path.join(args.model_path, "xprof"))
+        if args.port and network_gui.try_connect():
+            try:
+                msg = network_gui.receive()
+                parsed = network_gui.parse_camera(msg) if msg else None
+                if parsed is not None:
+                    gui_cam, _, keep_alive, scaling_mod = parsed
+                    img = eval_fn(tstate, gui_cam, bg_color)
+                    network_gui.send(
+                        network_gui.image_to_bytes(np.asarray(img)),
+                        args.source_path,
+                    )
+                    if not keep_alive:
+                        network_gui.disconnect()
+            except Exception:
+                network_gui.disconnect()
         if it % 1000 == 0:
             tstate = one_up_sh_degree(tstate, args.sh_degree)
         if not order:
@@ -158,7 +190,12 @@ def main(argv=None):
             rng.shuffle(order)
         cam, gt = cams[order.pop()]
         bg = jnp.asarray(np_rng.random(3), jnp.float32) if cfg.random_background else bg_color
-        tstate, metrics = step_fn(tstate, cam, jnp.asarray(gt), bg)
+        with timer:
+            tstate, metrics = step_fn(tstate, cam, jnp.asarray(gt), bg)
+            metrics["loss"].block_until_ready()
+        if profile_range and it == profile_range[1]:
+            jax.profiler.stop_trace()
+            profile_range = None
 
         if densify and it < cfg.densify_until_iter:
             if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
@@ -185,17 +222,27 @@ def main(argv=None):
         if not args.quiet and (it % 100 == 0 or it == 1):
             print(f"[it {it}/{cfg.iterations}] loss {ema_loss:.5f} "
                   f"psnr {float(metrics['psnr']):.2f} "
+                  f"iter {timer.ema_ms:.1f}ms "
                   f"({(time.time()-t_start):.0f}s)")
+        if it % 100 == 0:
+            logger.scalar("train_loss_patches/total_loss", loss, it)
+            logger.scalar("train_loss_patches/l1_loss", float(metrics["l1"]), it)
+            logger.scalar("iter_time", timer.ema_ms, it)
+            logger.scalar("total_points", float(np.asarray(tstate.alive).sum()), it)
 
         if it in args.test_iterations and scene.test_cameras:
             vals = []
-            for tc, tgt in scene.test_cameras:
+            for idx, (tc, tgt) in enumerate(scene.test_cameras):
                 img = eval_fn(tstate, tc, bg_color)
                 vals.append(float(psnr(img, jnp.asarray(tgt))))
+                if idx < 5:
+                    logger.image(f"test_view_{idx}/render", np.asarray(img), it)
             test_psnr = float(np.mean(vals))
             print(f"[it {it}] eval: test PSNR {test_psnr:.2f}")
-            metrics_log.write(json.dumps({"it": it, "test_psnr": test_psnr}) + "\n")
-            metrics_log.flush()
+            logger.scalar("test/psnr", test_psnr, it)
+            logger.histogram("scene/opacity_histogram",
+                             jax.nn.sigmoid(tstate.params["opacity"]), it)
+            logger.flush()
 
         if it in args.save_iterations:
             out_dir = snapshot_dir(args.model_path, it)
@@ -206,13 +253,11 @@ def main(argv=None):
             save_checkpoint(os.path.join(args.model_path, f"chkpnt{it}"), tstate)
             print(f"[it {it}] checkpoint saved")
 
-        metrics_log.write(json.dumps({"it": it, "loss": loss}) + "\n") if it % 500 == 0 else None
-
     # final snapshot if not already saved
     if cfg.iterations not in args.save_iterations:
         save_snapshot(args.gs_type, model, tstate.model_state(),
                       snapshot_dir(args.model_path, cfg.iterations))
-    metrics_log.close()
+    logger.close()
     print(f"training done in {time.time()-t_start:.0f}s")
     return tstate
 
