@@ -117,28 +117,44 @@ def build_tile_binning(
     # g(p): last gaussian with offset <= p
     g = _rank_in_sorted(offsets, pair_capacity).astype(jnp.int32) - 1
     g = jnp.clip(g, 0, span.shape[0] - 1)
-    local = p - offsets[g]
-    pvalid = (p < total) & (p < pair_capacity) & (local >= 0) & (local < span[g])
 
-    tx = xmin[g] + (local % jnp.maximum(sx[g], 1))
-    ty = ymin[g] + (local // jnp.maximum(sx[g], 1))
-    tile = (ty * n_tiles_x + tx).astype(jnp.int32)
-    tile = jnp.where(pvalid, tile, n_tiles)  # invalid pairs sort last
+    # ONE wide row-gather instead of six scalar gathers: single-column
+    # gathers of millions of indices cost ~8 ms each on v5e, a fused
+    # (N, 8) row gather ~1 ms. Depth rides along as order-preserving int32
+    # bits (valid depths are positive floats).
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(proj.depth, 0.0).astype(jnp.float32), jnp.int32
+    )
+    table = jnp.stack(
+        [offsets, span, xmin, ymin, sx, depth_bits,
+         jnp.zeros_like(span), jnp.zeros_like(span)],
+        axis=1,
+    )  # (N, 8) int32
+    rows = table[g]
+    off_g, span_g = rows[:, 0], rows[:, 1]
+    xmin_g, ymin_g, sx_g = rows[:, 2], rows[:, 3], rows[:, 4]
+    depth_g = rows[:, 5]
 
-    depth_key = jnp.where(pvalid, proj.depth[g], jnp.inf).astype(jnp.float32)
+    local = p - off_g
+    pvalid = (p < total) & (local >= 0) & (local < span_g)
+    tx = xmin_g + (local % jnp.maximum(sx_g, 1))
+    ty = ymin_g + (local // jnp.maximum(sx_g, 1))
+    tile = jnp.where(pvalid, ty * n_tiles_x + tx, n_tiles).astype(jnp.int32)
+    INF_BITS = jnp.int32(0x7F800000)
+    depth_key = jnp.where(pvalid, depth_g, INF_BITS)
 
     sorted_tile, _, sorted_g = jax.lax.sort(
         (tile, depth_key, g), num_keys=2, is_stable=True
     )
 
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    # per-tile ranges via histogram + cumsum (no searchsorted)
+    counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[tile].add(1)[:n_tiles]
+    start = (jnp.cumsum(counts) - counts).astype(jnp.int32)
     return TileBinning(
         pair_gaussian=sorted_g,
         pair_tile=sorted_tile,
         tile_start=start,
-        tile_count=end - start,
+        tile_count=counts,
         num_pairs=num_pairs,
         overflow=overflow,
     )
@@ -166,9 +182,12 @@ def align_binning(
     q = jnp.arange(aligned_capacity, dtype=jnp.int32)
     t = _rank_in_sorted(aligned_start, aligned_capacity).astype(jnp.int32) - 1
     t = jnp.clip(t, 0, n_tiles - 1)
-    local = q - aligned_start[t]
-    valid = (local < counts[t]) & (q < total_aligned)
-    src = jnp.clip(binning.tile_start[t] + local, 0, binning.pair_gaussian.shape[0] - 1)
+    # fused per-tile row gather (see build_tile_binning)
+    ttable = jnp.stack([aligned_start, counts, binning.tile_start], axis=1)
+    trows = ttable[t]
+    local = q - trows[:, 0]
+    valid = (local < trows[:, 1]) & (q < total_aligned)
+    src = jnp.clip(trows[:, 2] + local, 0, binning.pair_gaussian.shape[0] - 1)
     g = jnp.where(valid, binning.pair_gaussian[src], num_gaussians)
 
     # tiles whose aligned range exceeds capacity lose pairs; track as overflow
