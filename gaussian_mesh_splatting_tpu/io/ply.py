@@ -64,6 +64,14 @@ def read_ply(path: str) -> dict[str, np.ndarray]:
             props.append((tok[2], np.dtype(_DTYPES[tok[1]])))
 
     if fmt == "binary_little_endian":
+        from .native import fastio
+
+        nat = fastio()
+        if nat is not None and all(d.itemsize in (1, 4) for _, d in props):
+            cols = nat.parse_ply_vertices(
+                data, header_end, count, [int(d.itemsize) for _, d in props]
+            )
+            return {name: col.view(d) for (name, d), col in zip(props, cols)}
         rec = np.dtype([(n, d.newbyteorder("<")) for n, d in props])
         arr = np.frombuffer(body[: count * rec.itemsize], dtype=rec, count=count)
     elif fmt == "ascii":

@@ -114,6 +114,12 @@ def read_extrinsics_binary(path: str) -> dict[int, ColmapImage]:
 
 def read_points3D_binary(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (xyz (N,3), rgb (N,3) uint8, error (N,1))."""
+    from ..io.native import fastio
+
+    nat = fastio()
+    if nat is not None:
+        with open(path, "rb") as f:
+            return nat.parse_colmap_points3d(f.read())
     with open(path, "rb") as f:
         (n,) = _read(f, 8, "Q")
         xyz = np.empty((n, 3))
