@@ -80,9 +80,9 @@ def _pixel_coords(t, n_tiles_x):
     return px, py
 
 
-def _chunk_columns(buf):
-    """(16, K) VMEM block -> per-attribute (K, 1, 1) broadcastable columns."""
-    at = jnp.swapaxes(buf[:, :], 0, 1)  # (K, 16)
+def _chunk_columns(block):
+    """(16, K) VMEM block value -> per-attribute (K, 1, 1) columns."""
+    at = jnp.swapaxes(block, 0, 1)  # (K, 16)
     K = at.shape[0]
 
     def col(i):
@@ -140,6 +140,17 @@ def _fwd_kernel(cfg: _CompositeConfig):
         px, py = _pixel_coords(t, n_tiles_x)
         n_chunks = pl.cdiv(count, chunk)
 
+        def dma(slot, ci):
+            return pltpu.make_async_copy(
+                attrs_hbm.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            dma(0, 0).start()
+
         def seq_body(j, inner):
             # `done` is a float 0/1 mask: vector-bool loop carries do not
             # legalize in Mosaic's scf lowering
@@ -157,14 +168,14 @@ def _fwd_kernel(cfg: _CompositeConfig):
 
         def chunk_body(carry):
             ci, alldone, T, r, g, b, d, nc, done = carry
-            cp = pltpu.make_async_copy(
-                attrs_hbm.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
-                buf,
-                sem,
-            )
-            cp.start()
-            cp.wait()
-            at, col = _chunk_columns(buf)
+            slot = ci % 2
+            # double buffering: prefetch the next chunk while computing
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                dma((ci + 1) % 2, ci + 1).start()
+
+            dma(slot, ci).wait()
+            at, col = _chunk_columns(buf[slot])
             alpha_c, _ = _alpha_matrix(col, px, py, ci * chunk, count, chunk)
             alpha_ref[:] = alpha_c
             T, nc, done, _ = jax.lax.fori_loop(
@@ -227,10 +238,10 @@ def _composite_fwd(cfg: _CompositeConfig, pair_attrs, tile_start, tile_count):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[block, block, block, block, block, block],
         scratch_shapes=[
-            pltpu.VMEM((ATTR_COLS, cfg.chunk), jnp.float32),
+            pltpu.VMEM((2, ATTR_COLS, cfg.chunk), jnp.float32),
             pltpu.VMEM((cfg.chunk, TILE_H, TILE_W), jnp.float32),
             pltpu.VMEM((cfg.chunk, TILE_H, TILE_W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -286,6 +297,17 @@ def _bwd_kernel(cfg: _CompositeConfig):
 
         n_chunks = pl.cdiv(count, chunk)
 
+        def dma_in(slot, ci):
+            return pltpu.make_async_copy(
+                attrs_hbm.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
+                buf.at[slot],
+                sem_in.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            dma_in((n_chunks - 1) % 2, n_chunks - 1).start()
+
         def seq_body(jj, inner):
             T, S, base = inner
             j = chunk - 1 - jj  # reverse within chunk
@@ -305,14 +327,15 @@ def _bwd_kernel(cfg: _CompositeConfig):
         def chunk_body(carry):
             cj, T, S = carry
             ci = n_chunks - 1 - cj
-            cp_in = pltpu.make_async_copy(
-                attrs_hbm.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
-                buf,
-                sem_in,
-            )
-            cp_in.start()
-            cp_in.wait()
-            at, col = _chunk_columns(buf)
+            slot = ci % 2
+            # prefetch the next (earlier) chunk while computing this one
+            @pl.when(ci - 1 >= 0)
+            def _():
+                dma_in((ci - 1) % 2, ci - 1).start()
+
+            dma_in(slot, ci).wait()
+            block = buf[slot]
+            at, col = _chunk_columns(block)
             alpha_c, alpha_raw = _alpha_matrix(col, px, py, ci * chunk, count, chunk)
             alpha_ref[:] = alpha_c
             araw_ref[:] = alpha_raw
@@ -341,7 +364,7 @@ def _bwd_kernel(cfg: _CompositeConfig):
             mxy = red(dpow * (px * py)[None])
             myy = red(dpow * (py * py)[None])
 
-            at2 = jnp.swapaxes(buf[:, :], 0, 1)  # (K, 16)
+            at2 = jnp.swapaxes(block, 0, 1)  # (K, 16)
             mxc = at2[:, 0:1]
             myc = at2[:, 1:2]
             ca = at2[:, 2:3]
@@ -415,14 +438,14 @@ def _composite_bwd(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((ATTR_COLS, cfg.chunk), jnp.float32),
+            pltpu.VMEM((2, ATTR_COLS, cfg.chunk), jnp.float32),
             pltpu.VMEM(mat, jnp.float32),  # alpha
             pltpu.VMEM(mat, jnp.float32),  # alpha_raw
             pltpu.VMEM(mat, jnp.float32),  # U
             pltpu.VMEM(mat, jnp.float32),  # dalpha
             pltpu.VMEM(mat, jnp.float32),  # w
             pltpu.VMEM((ATTR_COLS, cfg.chunk), jnp.float32),  # grads out
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
