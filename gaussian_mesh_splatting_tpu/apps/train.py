@@ -140,6 +140,17 @@ def main(argv=None):
         "flame_model": args.flame_model,
     })
 
+    n_dp = 1
+    if args.data_parallel and jax.device_count() > 1:
+        from ..core.camera import stack_cameras
+        from ..parallel import create_mesh, make_dp_train_step
+
+        n_dp = jax.device_count()
+        dp_mesh = create_mesh()
+        dp_step_fn = make_dp_train_step(
+            model, tx, cfg, args.sh_degree, dp_mesh, backend=backend
+        )
+        print(f"data-parallel over {n_dp} devices ({n_dp} cameras/step)")
     step_fn = make_train_step(model, tx, cfg, args.sh_degree, backend=backend)
     eval_fn = make_eval_render(model, args.sh_degree, backend=backend)
 
@@ -185,14 +196,29 @@ def main(argv=None):
                 network_gui.disconnect()
         if it % 1000 == 0:
             tstate = one_up_sh_degree(tstate, args.sh_degree)
-        if not order:
-            order = list(range(len(cams)))
-            rng.shuffle(order)
-        cam, gt = cams[order.pop()]
         bg = jnp.asarray(np_rng.random(3), jnp.float32) if cfg.random_background else bg_color
-        with timer:
-            tstate, metrics = step_fn(tstate, cam, jnp.asarray(gt), bg)
-            metrics["loss"].block_until_ready()
+        if n_dp > 1:
+            picked = []
+            while len(picked) < n_dp:
+                if not order:
+                    order = list(range(len(cams)))
+                    rng.shuffle(order)
+                picked.append(order.pop())
+            from ..core.camera import stack_cameras
+
+            cam_batch = stack_cameras([cams[i][0] for i in picked])
+            gt_batch = jnp.stack([jnp.asarray(cams[i][1]) for i in picked])
+            with timer:
+                tstate, metrics = dp_step_fn(tstate, cam_batch, gt_batch, bg)
+                metrics["loss"].block_until_ready()
+        else:
+            if not order:
+                order = list(range(len(cams)))
+                rng.shuffle(order)
+            cam, gt = cams[order.pop()]
+            with timer:
+                tstate, metrics = step_fn(tstate, cam, jnp.asarray(gt), bg)
+                metrics["loss"].block_until_ready()
         if profile_range and it == profile_range[1]:
             jax.profiler.stop_trace()
             profile_range = None
