@@ -61,20 +61,26 @@ def tile_rect(
     tile_w: int,
     n_tiles_y: int,
     n_tiles_x: int,
+    row_tile_offset=0,
 ):
     """Tile-rectangle [min, max) each Gaussian touches (CUDA getRect).
 
     Returns (xmin, xmax, ymin, ymax) int32 arrays; empty rect when radius
-    is 0. Shared by the oracle and the Pallas path.
+    is 0. Shared by the oracle and the Pallas path. `row_tile_offset`
+    shifts the rect into a local row band (row-sharded rendering): the
+    result is the intersection of the global rect with rows
+    [offset, offset + n_tiles_y).
     """
     mx, my = mean2d[..., 0], mean2d[..., 1]
     xmin = jnp.clip(jnp.floor((mx - radius) / tile_w), 0, n_tiles_x).astype(jnp.int32)
     xmax = jnp.clip(
         jnp.floor((mx + radius + tile_w - 1) / tile_w), 0, n_tiles_x
     ).astype(jnp.int32)
-    ymin = jnp.clip(jnp.floor((my - radius) / tile_h), 0, n_tiles_y).astype(jnp.int32)
+    ymin = jnp.clip(
+        jnp.floor((my - radius) / tile_h) - row_tile_offset, 0, n_tiles_y
+    ).astype(jnp.int32)
     ymax = jnp.clip(
-        jnp.floor((my + radius + tile_h - 1) / tile_h), 0, n_tiles_y
+        jnp.floor((my + radius + tile_h - 1) / tile_h) - row_tile_offset, 0, n_tiles_y
     ).astype(jnp.int32)
     return xmin, xmax, ymin, ymax
 
@@ -99,10 +105,12 @@ def build_tile_binning(
     n_tiles_y: int,
     n_tiles_x: int,
     pair_capacity: int,
+    row_tile_offset=0,
 ) -> TileBinning:
     n_tiles = n_tiles_y * n_tiles_x
     xmin, xmax, ymin, ymax = tile_rect(
-        proj.mean2d, proj.radius, tile_h, tile_w, n_tiles_y, n_tiles_x
+        proj.mean2d, proj.radius, tile_h, tile_w, n_tiles_y, n_tiles_x,
+        row_tile_offset,
     )
     sx = jnp.maximum(xmax - xmin, 0)
     sy = jnp.maximum(ymax - ymin, 0)

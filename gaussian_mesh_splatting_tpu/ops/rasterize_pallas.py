@@ -72,8 +72,8 @@ class _CompositeConfig(NamedTuple):
     interpret: bool
 
 
-def _pixel_coords(t, n_tiles_x):
-    ty = t // n_tiles_x
+def _pixel_coords(t, n_tiles_x, row_off=0):
+    ty = t // n_tiles_x + row_off
     tx = t % n_tiles_x
     px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
     py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
@@ -122,6 +122,7 @@ def _fwd_kernel(cfg: _CompositeConfig):
     def kernel(
         tile_start_ref,
         tile_count_ref,
+        row_off_ref,
         attrs_hbm,
         out_r,
         out_g,
@@ -137,7 +138,7 @@ def _fwd_kernel(cfg: _CompositeConfig):
         t = pl.program_id(0)
         start = tile_start_ref[t]
         count = tile_count_ref[t]
-        px, py = _pixel_coords(t, n_tiles_x)
+        px, py = _pixel_coords(t, n_tiles_x, row_off_ref[0])
         n_chunks = pl.cdiv(count, chunk)
 
         def dma(slot, ci):
@@ -226,14 +227,14 @@ def _tile_index_map(n_tiles_x):
     return index_map
 
 
-def _composite_fwd(cfg: _CompositeConfig, pair_attrs, tile_start, tile_count):
+def _composite_fwd(cfg: _CompositeConfig, pair_attrs, tile_start, tile_count, row_off):
     n_tiles = cfg.n_tiles_y * cfg.n_tiles_x
     plane = jax.ShapeDtypeStruct((cfg.hp, cfg.wp), jnp.float32)
     plane_i = jax.ShapeDtypeStruct((cfg.hp, cfg.wp), jnp.int32)
     imap = _tile_index_map(cfg.n_tiles_x)
     block = pl.BlockSpec((TILE_H, TILE_W), imap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[block, block, block, block, block, block],
@@ -249,7 +250,7 @@ def _composite_fwd(cfg: _CompositeConfig, pair_attrs, tile_start, tile_count):
         grid_spec=grid_spec,
         out_shape=[plane, plane, plane, plane, plane, plane_i],
         interpret=cfg.interpret,
-    )(tile_start, tile_count, pair_attrs)
+    )(tile_start, tile_count, row_off, pair_attrs)
 
 
 # --------------------------------------------------------------------------
@@ -263,6 +264,7 @@ def _bwd_kernel(cfg: _CompositeConfig):
     def kernel(
         tile_start_ref,
         tile_count_ref,
+        row_off_ref,
         attrs_hbm,
         t_final_ref,
         nc_ref,
@@ -285,7 +287,7 @@ def _bwd_kernel(cfg: _CompositeConfig):
         t = pl.program_id(0)
         start = tile_start_ref[t]
         count = tile_count_ref[t]
-        px, py = _pixel_coords(t, n_tiles_x)
+        px, py = _pixel_coords(t, n_tiles_x, row_off_ref[0])
 
         t_final = t_final_ref[:]
         nc = nc_ref[:]
@@ -417,14 +419,14 @@ def _bwd_kernel(cfg: _CompositeConfig):
 
 
 def _composite_bwd(
-    cfg: _CompositeConfig, pair_attrs, tile_start, tile_count, t_final, nc, g_r, g_g, g_b, g_t, g_d
+    cfg: _CompositeConfig, pair_attrs, tile_start, tile_count, row_off, t_final, nc, g_r, g_g, g_b, g_t, g_d
 ):
     n_tiles = cfg.n_tiles_y * cfg.n_tiles_x
     imap = _tile_index_map(cfg.n_tiles_x)
     block = pl.BlockSpec((TILE_H, TILE_W), imap)
     mat = (cfg.chunk, TILE_H, TILE_W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # attrs (16, P)
@@ -456,7 +458,7 @@ def _composite_bwd(
             jax.ShapeDtypeStruct((ATTR_COLS, cfg.pair_capacity_aligned), jnp.float32)
         ],
         interpret=cfg.interpret,
-    )(tile_start, tile_count, pair_attrs, t_final, nc, g_r, g_g, g_b, g_t, g_d)
+    )(tile_start, tile_count, row_off, pair_attrs, t_final, nc, g_r, g_g, g_b, g_t, g_d)
     return pair_grads
 
 
@@ -471,25 +473,27 @@ def _int_zero_cotangent(x):
 @functools.lru_cache(maxsize=32)
 def _get_composite(cfg: _CompositeConfig):
     @jax.custom_vjp
-    def composite(pair_attrs, tile_start, tile_count):
-        return tuple(_composite_fwd(cfg, pair_attrs, tile_start, tile_count))
+    def composite(pair_attrs, tile_start, tile_count, row_off):
+        return tuple(_composite_fwd(cfg, pair_attrs, tile_start, tile_count, row_off))
 
-    def fwd(pair_attrs, tile_start, tile_count):
-        out = _composite_fwd(cfg, pair_attrs, tile_start, tile_count)
+    def fwd(pair_attrs, tile_start, tile_count, row_off):
+        out = _composite_fwd(cfg, pair_attrs, tile_start, tile_count, row_off)
         r, g, b, t_final, d, nc = out
-        res = (pair_attrs, tile_start, tile_count, t_final, nc)
+        res = (pair_attrs, tile_start, tile_count, row_off, t_final, nc)
         return tuple(out), res
 
     def bwd(res, cots):
-        pair_attrs, tile_start, tile_count, t_final, nc = res
+        pair_attrs, tile_start, tile_count, row_off, t_final, nc = res
         g_r, g_g, g_b, g_t, g_d, _g_nc = cots
         pair_grads = _composite_bwd(
-            cfg, pair_attrs, tile_start, tile_count, t_final, nc, g_r, g_g, g_b, g_t, g_d
+            cfg, pair_attrs, tile_start, tile_count, row_off, t_final, nc,
+            g_r, g_g, g_b, g_t, g_d
         )
         return (
             pair_grads,
             _int_zero_cotangent(tile_start),
             _int_zero_cotangent(tile_count),
+            _int_zero_cotangent(row_off),
         )
 
     composite.defvjp(fwd, bwd)
@@ -526,8 +530,17 @@ def rasterize_pallas(
     pair_capacity: int | None = None,
     chunk: int = 128,
     interpret: bool | None = None,
+    num_row_tiles: int | None = None,
+    row_tile_offset=0,
 ) -> RenderOutput:
-    """Drop-in fast equivalent of `rasterize_reference` (same contract)."""
+    """Drop-in fast equivalent of `rasterize_reference` (same contract).
+
+    Row-sharded mode (`num_row_tiles` static + `row_tile_offset` traced):
+    renders only image rows [offset*8, (offset+num_row_tiles)*8) — the
+    building block for sharding one large render across devices (the
+    "tile/pixel parallel" axis, SURVEY.md §2.3). The returned image then
+    has num_row_tiles*8 rows and the caller assembles shards.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -552,6 +565,10 @@ def rasterize_pallas(
     wp = -(-w // TILE_W) * TILE_W
     n_tiles_y = hp // TILE_H
     n_tiles_x = wp // TILE_W
+    row_sharded = num_row_tiles is not None
+    if row_sharded:
+        n_tiles_y = num_row_tiles
+        hp = n_tiles_y * TILE_H
     n_tiles = n_tiles_y * n_tiles_x
     if pair_capacity is None:
         pair_capacity = default_pair_capacity(n, n_tiles)
@@ -566,6 +583,7 @@ def rasterize_pallas(
         n_tiles_y=n_tiles_y,
         n_tiles_x=n_tiles_x,
         pair_capacity=pair_capacity,
+        row_tile_offset=row_tile_offset,
     )
     aligned = align_binning(
         binning, num_gaussians=n, chunk=chunk, aligned_capacity=aligned_capacity
@@ -597,17 +615,20 @@ def rasterize_pallas(
         interpret=bool(interpret),
     )
     composite = _get_composite(cfg)
+    row_off = jnp.asarray(row_tile_offset, jnp.int32).reshape(1)
     r, g, b, t_final, d, _nc = composite(
-        pair_attrs, aligned.tile_start, aligned.tile_count
+        pair_attrs, aligned.tile_start, aligned.tile_count, row_off
     )
 
-    image = jnp.stack([r, g, b], axis=-1)[:h, :w]
-    t_crop = t_final[:h, :w]
+    h_out = hp if row_sharded else h
+    image = jnp.stack([r, g, b], axis=-1)[:h_out, :w]
+    t_crop = t_final[:h_out, :w]
     image = image + t_crop[..., None] * bg
     return RenderOutput(
         image=image,
         radii=proj.radius.astype(jnp.int32),
-        depth=d[:h, :w],
+        depth=d[:h_out, :w],
         alpha=1.0 - t_crop,
         mean2d=proj.mean2d,
+        overflow=jax.lax.stop_gradient(aligned.overflow),
     )

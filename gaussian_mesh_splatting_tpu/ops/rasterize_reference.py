@@ -46,6 +46,7 @@ class RenderOutput(NamedTuple):
     depth: jax.Array  # (H, W) expected depth
     alpha: jax.Array  # (H, W) 1 - final transmittance
     mean2d: jax.Array  # (N, 2) projected pixel positions (for densify stats)
+    overflow: jax.Array | None = None  # scalar: pairs dropped (pallas only)
 
 
 def _composite_scan(
