@@ -115,6 +115,54 @@ def retarget(args) -> None:
     print(f"retargeted {tris.shape[0]} triangles -> {args.output}")
 
 
+def animate_soup(args) -> None:
+    """Time-animated pseudomesh rendering — the reference's
+    `scripts/render_points_time_animated.py`: a wave deform over the soup
+    vertices per frame, re-deriving scale/rot each frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..io.checkpoint import snapshot_dir
+    from ..io.config_io import load_cfg
+    from ..io.snapshots import load_snapshot
+    from ..models import points
+    from ..renderer import render
+    from ..scene import Scene
+    from .render import latest_iteration, save_png
+
+    cfg = load_cfg(args.model_path)
+    sh_degree = int(cfg.get("sh_degree", 3))
+    iteration = args.iteration if args.iteration > 0 else latest_iteration(args.model_path)
+    state = load_snapshot("gs_points", snapshot_dir(args.model_path, iteration), sh_degree)
+    tris0 = np.asarray(points.pseudomesh_from_state(state))
+    scene = Scene(
+        cfg["source_path"], "gs_flat",
+        white_background=bool(cfg.get("white_background", False)),
+        eval=True, shuffle=False,
+    )
+    cam, _ = (scene.test_cameras or scene.train_cameras)[args.camera_index]
+    bg = jnp.ones(3) if cfg.get("white_background") else jnp.zeros(3)
+    backend = "pallas" if jax.default_backend() == "tpu" else "reference"
+
+    @jax.jit
+    def render_one(state, tris):
+        bag = points.to_bag(state, tris)
+        out = render(bag, cam, bg, sh_degree=sh_degree, backend=backend)
+        return jnp.clip(out.image, 0.0, 1.0)
+
+    out_dir = os.path.join(args.model_path, "soup_animated")
+    for i in range(args.frames):
+        t = i / max(args.frames - 1, 1)
+        tris = tris0.copy()
+        # wave deform over all soup vertices (render_points_time_animated.py:27-30)
+        tris[..., 1] += args.amplitude * np.sin(
+            2 * np.pi * (tris[..., 0] + t)
+        )
+        img = np.asarray(render_one(state, jnp.asarray(tris)))
+        save_png(os.path.join(out_dir, f"{i:05d}.png"), img)
+    print(f"wrote {args.frames} frames to {out_dir}")
+
+
 def render_soup(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -189,6 +237,14 @@ def main(argv=None):
     rr.add_argument("--iteration", type=int, default=-1)
     rr.add_argument("--obj_scale", type=float, default=0.01)
     rr.set_defaults(fn=render_soup)
+
+    an = sub.add_parser("animate")
+    an.add_argument("--model_path", "-m", required=True)
+    an.add_argument("--iteration", type=int, default=-1)
+    an.add_argument("--frames", type=int, default=60)
+    an.add_argument("--amplitude", type=float, default=0.1)
+    an.add_argument("--camera_index", type=int, default=0)
+    an.set_defaults(fn=animate_soup)
 
     args = p.parse_args(argv)
     args.fn(args)
