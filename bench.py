@@ -35,7 +35,9 @@ def main():
 
     k = jax.random.split(jax.random.key(0), 6)
     xyz = jax.random.normal(k[0], (n, 3)) * 0.5
-    scales_log = jax.random.normal(k[1], (n, 3)) * 0.3 - 2.5
+    # scale distribution matching a converged 3DGS scene (most Gaussians a
+    # few pixels across), not the bloated init distribution
+    scales_log = jax.random.normal(k[1], (n, 3)) * 0.3 - 3.5
     q = jax.random.normal(k[2], (n, 4))
     opacity_raw = jax.random.normal(k[3], (n, 1))
     shs = jnp.concatenate(

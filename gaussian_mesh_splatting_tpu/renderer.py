@@ -31,11 +31,14 @@ def render(
     antialiasing: bool = False,
     backend: Backend = "auto",
     mean2d_offset: jax.Array | None = None,
+    **backend_kwargs,
 ) -> RenderOutput:
     """Render a GaussianBag through one camera.
 
     `mean2d_offset`: optional zeros (N,2); pass and differentiate w.r.t. it
     to obtain screen-space positional gradients for densification.
+    `backend_kwargs` forward to the selected rasterizer (e.g.
+    `pair_capacity=`, `chunk=` for pallas, `tile_size=` for reference).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "reference"
@@ -55,6 +58,7 @@ def render(
             antialiasing=antialiasing,
             mean2d_offset=mean2d_offset,
             alive=bag.alive,
+            **backend_kwargs,
         )
     return rasterize_reference(
         bag.xyz,
@@ -69,4 +73,5 @@ def render(
         antialiasing=antialiasing,
         mean2d_offset=mean2d_offset,
         alive=bag.alive,
+        **backend_kwargs,
     )
