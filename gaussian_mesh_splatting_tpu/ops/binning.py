@@ -138,6 +138,9 @@ def build_tile_binning(
          jnp.zeros_like(span), jnp.zeros_like(span)],
         axis=1,
     )  # (N, 8) int32
+    # barrier: without it XLA fuses the producers into the 1M-index gather
+    # and TPU compile time explodes (minutes -> tens of minutes)
+    table, g = jax.lax.optimization_barrier((table, g))
     rows = table[g]
     off_g, span_g = rows[:, 0], rows[:, 1]
     xmin_g, ymin_g, sx_g = rows[:, 2], rows[:, 3], rows[:, 4]
@@ -192,11 +195,13 @@ def align_binning(
     t = jnp.clip(t, 0, n_tiles - 1)
     # fused per-tile row gather (see build_tile_binning)
     ttable = jnp.stack([aligned_start, counts, binning.tile_start], axis=1)
+    ttable, t = jax.lax.optimization_barrier((ttable, t))
     trows = ttable[t]
     local = q - trows[:, 0]
     valid = (local < trows[:, 1]) & (q < total_aligned)
     src = jnp.clip(trows[:, 2] + local, 0, binning.pair_gaussian.shape[0] - 1)
-    g = jnp.where(valid, binning.pair_gaussian[src], num_gaussians)
+    pair_g, src = jax.lax.optimization_barrier((binning.pair_gaussian, src))
+    g = jnp.where(valid, pair_g[src], num_gaussians)
 
     # tiles whose aligned range exceeds capacity lose pairs; track as overflow
     clipped = jnp.maximum(aligned_start + padded - aligned_capacity, 0)

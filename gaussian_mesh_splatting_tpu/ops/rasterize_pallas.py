@@ -603,7 +603,8 @@ def rasterize_pallas(
         axis=1,
     )
     attr = jnp.concatenate([rows, jnp.zeros((1, ATTR_COLS), rows.dtype)], axis=0)
-    pair_attrs = attr[aligned.pair_gaussian].T  # (16, P_al)
+    attr_b, idx_b = jax.lax.optimization_barrier((attr, aligned.pair_gaussian))
+    pair_attrs = attr_b[idx_b].T  # (16, P_al)
 
     cfg = _CompositeConfig(
         hp=hp,
