@@ -153,3 +153,81 @@ def test_empty_and_culled_scene():
     img = np.asarray(out.image)
     np.testing.assert_allclose(img, np.broadcast_to(np.asarray(BG), img.shape), atol=1e-6)
     assert np.all(np.asarray(out.radii) == 0)
+
+
+def test_colors_override_path():
+    """colors= (precomputed RGB) instead of SH — the reference's
+    override_color / convert_SHs_python path."""
+    scene = activated(random_scene(jax.random.key(6), n=48))
+    cam = test_camera(width=128, height=24)
+    colors = jax.random.uniform(jax.random.key(7), (48, 3))
+    out_ref = rasterize_reference(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, colors=colors, tile_size=(TILE_H, TILE_W),
+    )
+    out_pal = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, colors=colors, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pal.image), np.asarray(out_ref.image), atol=2e-5
+    )
+
+
+def test_cov3d_precomp_path():
+    """cov3d_precomp= equals the scales+rotations path (the reference's
+    compute_cov3D_python toggle)."""
+    from gaussian_mesh_splatting_tpu.core.transforms import (
+        covariance_from_scaling_rotation,
+    )
+
+    scene = activated(random_scene(jax.random.key(8), n=32))
+    cam = test_camera(width=128, height=24)
+    cov6 = covariance_from_scaling_rotation(
+        scene["scales"], 1.0, scene["rotations"]
+    )
+    out_a = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, interpret=True,
+    )
+    out_b = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, cov3d_precomp=cov6, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b.image), np.asarray(out_a.image), atol=1e-5
+    )
+
+
+def test_antialiasing_matches_oracle():
+    scene = activated(random_scene(jax.random.key(9), n=64, scale_log_mean=-4.5))
+    cam = test_camera(width=128, height=24)
+    out_ref = rasterize_reference(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, antialiasing=True,
+        tile_size=(TILE_H, TILE_W),
+    )
+    out_pal = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, antialiasing=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pal.image), np.asarray(out_ref.image), atol=2e-5
+    )
+
+
+def test_scale_modifier():
+    scene = activated(random_scene(jax.random.key(10), n=32))
+    cam = test_camera(width=128, height=24)
+    out_ref = rasterize_reference(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, scale_modifier=0.5,
+        tile_size=(TILE_H, TILE_W),
+    )
+    out_pal = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, scale_modifier=0.5, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pal.image), np.asarray(out_ref.image), atol=2e-5
+    )
