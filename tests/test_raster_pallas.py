@@ -231,3 +231,31 @@ def test_scale_modifier():
     np.testing.assert_allclose(
         np.asarray(out_pal.image), np.asarray(out_ref.image), atol=2e-5
     )
+
+
+def test_overflow_reported_and_bounded():
+    """When pairs exceed capacity the render stays finite and reports how
+    many pairs were dropped (driver can then re-jit with a larger buffer)."""
+    scene = activated(random_scene(jax.random.key(13), n=128, scale_log_mean=-0.5))
+    cam = test_camera(width=128, height=512)
+    out = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, interpret=True,
+        pair_capacity=4096,
+    )
+    assert int(out.overflow) > 0
+    assert np.all(np.isfinite(np.asarray(out.image)))
+
+
+def test_render_deterministic():
+    scene = activated(random_scene(jax.random.key(14), n=64))
+    cam = test_camera(width=128, height=24)
+    a = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, shs=scene["shs"], sh_degree=2, interpret=True,
+    ).image
+    b = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, bg=BG, shs=scene["shs"], sh_degree=2, interpret=True,
+    ).image
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
