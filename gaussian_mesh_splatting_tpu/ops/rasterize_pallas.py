@@ -357,7 +357,9 @@ def _bwd_kernel(cfg: _CompositeConfig):
             dpow = jnp.where(unclamped, dalpha * araw_ref[:], 0.0)
 
             def red(x):
-                return jnp.sum(x, axis=(1, 2)).reshape(chunk, 1)
+                # two-step reduction: a single axis=(1,2) reduce creates a
+                # rank-1 intermediate that crashes Mosaic's layout pass
+                return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
 
             m0 = red(dpow)
             mx_m = red(dpow * px[None])
