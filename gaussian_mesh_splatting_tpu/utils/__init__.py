@@ -1,0 +1,1 @@
+from .profiling import MetricsLogger, StepTimer, xprof_trace
