@@ -145,6 +145,7 @@ def preprocess(
     antialiasing: bool = False,
     mean2d_offset: jax.Array | None = None,
     alive: jax.Array | None = None,
+    radius_mode: str = "cuda",
 ) -> ProjectedGaussians:
     """Full screen-space preprocessing for a batch of Gaussians.
 
@@ -171,15 +172,28 @@ def preprocess(
     inv_det = 1.0 / det_safe
     conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
 
-    # conservative radius: 3 sigma of the major axis
-    mid = 0.5 * (a + c)
-    disc = jnp.maximum(mid * mid - det, 0.1)
-    lambda1 = mid + jnp.sqrt(disc)
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
-
     opac = opacities.reshape(-1)
     if antialiasing:
         opac = opac * jnp.sqrt(jnp.maximum(det_ratio, 0.0))
+
+    # conservative screen radius from the major eigenvalue
+    mid = 0.5 * (a + c)
+    disc = jnp.maximum(mid * mid - det, 0.1)
+    lambda1 = mid + jnp.sqrt(disc)
+    sigma_max = jnp.sqrt(jnp.maximum(lambda1, 0.0))
+    if radius_mode == "cuda":
+        # fixed 3-sigma bound (the CUDA rasterizer's heuristic)
+        n_sigma = 3.0
+    elif radius_mode == "tight":
+        # opacity-aware bound: alpha >= 1/255 <=> power >= ln(1/(255 op)),
+        # i.e. distance <= sqrt(2 ln(255 op)) sigma. Never looser than 3
+        # sigma; low-opacity Gaussians (e.g. after opacity reset) bin into
+        # far fewer tiles. Exact w.r.t. the compositing cutoff.
+        n_sigma = jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opac, 1.0 + 1e-6)))
+        n_sigma = jnp.minimum(n_sigma, 3.0)
+    else:
+        raise ValueError(f"unknown radius_mode {radius_mode!r}")
+    radius = jnp.ceil(n_sigma * sigma_max)
 
     if colors is None:
         assert shs is not None

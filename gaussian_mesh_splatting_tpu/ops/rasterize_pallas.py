@@ -209,7 +209,16 @@ def _fwd_kernel(cfg: _CompositeConfig):
             jnp.zeros(shape, jnp.int32),
             jnp.zeros(shape, jnp.float32),
         )
-        _, _, T, r, g, b, d, nc, _ = jax.lax.while_loop(chunk_cond, chunk_body, init)
+        ci_final, _, T, r, g, b, d, nc, _ = jax.lax.while_loop(
+            chunk_cond, chunk_body, init
+        )
+        # drain: an early exit (all pixels terminated) leaves the prefetched
+        # next-chunk DMA in flight; its un-consumed semaphore would corrupt
+        # the next grid step's waits (observed as a TPU runtime abort)
+        @pl.when(ci_final < n_chunks)
+        def _():
+            dma(ci_final % 2, ci_final).wait()
+
         out_r[:] = r
         out_g[:] = g
         out_b[:] = b
@@ -529,6 +538,7 @@ def rasterize_pallas(
     antialiasing: bool = False,
     mean2d_offset: jax.Array | None = None,
     alive: jax.Array | None = None,
+    radius_mode: str = "cuda",
     pair_capacity: int | None = None,
     chunk: int = 128,
     interpret: bool | None = None,
@@ -560,6 +570,7 @@ def rasterize_pallas(
         antialiasing=antialiasing,
         mean2d_offset=mean2d_offset,
         alive=alive,
+        radius_mode=radius_mode,
     )
     n = means3d.shape[0]
     h, w = cam.height, cam.width

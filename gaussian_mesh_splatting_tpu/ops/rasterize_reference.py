@@ -129,6 +129,7 @@ def rasterize_reference(
     antialiasing: bool = False,
     mean2d_offset: jax.Array | None = None,
     alive: jax.Array | None = None,
+    radius_mode: str = "cuda",
     tile_size: tuple[int, int] = (16, 16),
 ) -> RenderOutput:
     """Render one camera view. See module docstring for semantics.
@@ -152,6 +153,7 @@ def rasterize_reference(
         antialiasing=antialiasing,
         mean2d_offset=mean2d_offset,
         alive=alive,
+        radius_mode=radius_mode,
     )
     depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True)
