@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--lambda_dssim", type=float, default=None)
     p.add_argument("--densify_grad_threshold", type=float, default=None)
+    p.add_argument("--densification_interval", type=int, default=None)
+    p.add_argument("--densify_from_iter", type=int, default=None)
+    p.add_argument("--densify_until_iter", type=int, default=None)
+    p.add_argument("--opacity_reset_interval", type=int, default=None)
     p.add_argument("--random_background", action="store_true")
     # control (train.py:226-241)
     p.add_argument("--test_iterations", nargs="+", type=int,
@@ -103,7 +107,9 @@ def main(argv=None):
 
     overrides = {
         k: getattr(args, k)
-        for k in ["iterations", "lambda_dssim", "densify_grad_threshold"]
+        for k in ["iterations", "lambda_dssim", "densify_grad_threshold",
+                  "densification_interval", "densify_from_iter",
+                  "densify_until_iter", "opacity_reset_interval"]
         if getattr(args, k) is not None
     }
     if args.random_background:
