@@ -171,6 +171,97 @@ def build_tile_binning(
     )
 
 
+def build_aligned_binning(
+    proj: ProjectedGaussians,
+    *,
+    tile_h: int,
+    tile_w: int,
+    n_tiles_y: int,
+    n_tiles_x: int,
+    pair_capacity: int,
+    chunk: int,
+    num_gaussians: int,
+    row_tile_offset=0,
+) -> AlignedBinning:
+    """Single-pass aligned binning: chunk-alignment padding pairs are
+    synthesized BEFORE the sort (per-tile counts come from a histogram that
+    needs no sort), so one lexicographic sort directly yields the aligned
+    per-tile layout — this replaces the separate align_binning pass, which
+    cost ~2x the rest of binning in re-rank + gathers."""
+    n_tiles = n_tiles_y * n_tiles_x
+    xmin, xmax, ymin, ymax = tile_rect(
+        proj.mean2d, proj.radius, tile_h, tile_w, n_tiles_y, n_tiles_x,
+        row_tile_offset,
+    )
+    sx = jnp.maximum(xmax - xmin, 0)
+    sy = jnp.maximum(ymax - ymin, 0)
+    span = jnp.where(proj.valid & (proj.radius > 0), sx * sy, 0)  # (N,)
+
+    offsets = jnp.cumsum(span) - span
+    total = offsets[-1] + span[-1] if span.shape[0] > 0 else jnp.zeros((), jnp.int32)
+    overflow = jnp.maximum(total - pair_capacity, 0)
+
+    p = jnp.arange(pair_capacity, dtype=jnp.int32)
+    g = _rank_in_sorted(offsets, pair_capacity).astype(jnp.int32) - 1
+    g = jnp.clip(g, 0, span.shape[0] - 1)
+
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(proj.depth, 0.0).astype(jnp.float32), jnp.int32
+    )
+    table = jnp.stack(
+        [offsets, span, xmin, ymin, sx, depth_bits,
+         jnp.zeros_like(span), jnp.zeros_like(span)],
+        axis=1,
+    )
+    # barrier: stop XLA fusing producers into the 1M-index gather (compile
+    # time explosion otherwise)
+    table, g = jax.lax.optimization_barrier((table, g))
+    rows = table[g]
+    off_g, span_g = rows[:, 0], rows[:, 1]
+    xmin_g, ymin_g, sx_g = rows[:, 2], rows[:, 3], rows[:, 4]
+    depth_g = rows[:, 5]
+
+    local = p - off_g
+    pvalid = (p < total) & (local >= 0) & (local < span_g)
+    tx = xmin_g + (local % jnp.maximum(sx_g, 1))
+    ty = ymin_g + (local // jnp.maximum(sx_g, 1))
+    tile = jnp.where(pvalid, ty * n_tiles_x + tx, n_tiles).astype(jnp.int32)
+    INF_BITS = jnp.int32(0x7F800000)
+    depth_key = jnp.where(pvalid, depth_g, INF_BITS)
+    gg = jnp.where(pvalid, g, num_gaussians)
+
+    # per-tile counts (histogram, no sort needed) -> alignment padding
+    counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[tile].add(1)[:n_tiles]
+    pad = (-counts) % chunk
+    padded_counts = counts + pad
+    aligned_start = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
+
+    # synthesize padding pairs: slot j pads tile t(j) per the pad cumsum
+    n_pad_slots = n_tiles * chunk
+    pad_off = jnp.cumsum(pad) - pad  # (T,)
+    total_pad = pad_off[-1] + pad[-1]
+    j = jnp.arange(n_pad_slots, dtype=jnp.int32)
+    t_pad = _rank_in_sorted(pad_off, n_pad_slots).astype(jnp.int32) - 1
+    t_pad = jnp.clip(t_pad, 0, n_tiles - 1)
+    pad_ok = (j < total_pad) & ((j - pad_off[t_pad]) < pad[t_pad])
+    tile_pad = jnp.where(pad_ok, t_pad, n_tiles).astype(jnp.int32)
+
+    tile_all = jnp.concatenate([tile, tile_pad])
+    depth_all = jnp.concatenate([depth_key, jnp.full((n_pad_slots,), INF_BITS)])
+    g_all = jnp.concatenate([gg, jnp.full((n_pad_slots,), num_gaussians, jnp.int32)])
+
+    _, _, sorted_g = jax.lax.sort(
+        (tile_all, depth_all, g_all), num_keys=2, is_stable=True
+    )
+    return AlignedBinning(
+        pair_gaussian=sorted_g,
+        pair_valid=sorted_g < num_gaussians,
+        tile_start=aligned_start,
+        tile_count=counts,
+        overflow=overflow,
+    )
+
+
 def align_binning(
     binning: TileBinning,
     *,

@@ -6,9 +6,9 @@ with a TPU-native design:
 
   pipeline (all jit, one XLA program):
     preprocess (XLA, batched)          — project/cull/conic/SH, ops/projection.py
-    build_tile_binning (XLA)           — capacity-bounded pair expansion +
-                                         lexicographic sort, ops/binning.py
-    align_binning (XLA)                — chunk-aligned per-tile ranges
+    build_aligned_binning (XLA)        — capacity-bounded pair expansion
+                                         with pre-sort alignment padding +
+                                         one lexicographic sort, ops/binning.py
     composite (Pallas, custom_vjp)     — per-tile front-to-back compositing
     background + crop (XLA)            — differentiable tail
 
@@ -53,7 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.camera import Camera
-from .binning import align_binning, build_tile_binning
+from .binning import build_aligned_binning
 from .projection import preprocess
 from .rasterize_reference import ALPHA_MAX, ALPHA_MIN, RenderOutput, T_EPS
 
@@ -589,17 +589,16 @@ def rasterize_pallas(
 
     # binning consumes no gradients (integer work)
     proj_ng = jax.lax.stop_gradient(proj)
-    binning = build_tile_binning(
+    aligned = build_aligned_binning(
         proj_ng,
         tile_h=TILE_H,
         tile_w=TILE_W,
         n_tiles_y=n_tiles_y,
         n_tiles_x=n_tiles_x,
         pair_capacity=pair_capacity,
+        chunk=chunk,
+        num_gaussians=n,
         row_tile_offset=row_tile_offset,
-    )
-    aligned = align_binning(
-        binning, num_gaussians=n, chunk=chunk, aligned_capacity=aligned_capacity
     )
 
     # per-Gaussian attribute rows (+1 zero row for padding slots), gathered
