@@ -243,7 +243,10 @@ def build_aligned_binning(
     j = jnp.arange(n_pad_slots, dtype=jnp.int32)
     t_pad = _rank_in_sorted(pad_off, n_pad_slots).astype(jnp.int32) - 1
     t_pad = jnp.clip(t_pad, 0, n_tiles - 1)
-    pad_ok = (j < total_pad) & ((j - pad_off[t_pad]) < pad[t_pad])
+    ptable = jnp.stack([pad_off, pad], axis=1)
+    ptable, t_pad = jax.lax.optimization_barrier((ptable, t_pad))
+    prows = ptable[t_pad]
+    pad_ok = (j < total_pad) & ((j - prows[:, 0]) < prows[:, 1])
     tile_pad = jnp.where(pad_ok, t_pad, n_tiles).astype(jnp.int32)
 
     tile_all = jnp.concatenate([tile, tile_pad])
