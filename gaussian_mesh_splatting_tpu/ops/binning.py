@@ -187,15 +187,28 @@ def build_aligned_binning(
     synthesized BEFORE the sort (per-tile counts come from a histogram that
     needs no sort), so one lexicographic sort directly yields the aligned
     per-tile layout — this replaces the separate align_binning pass, which
-    cost ~2x the rest of binning in re-rank + gathers."""
+    cost ~2x the rest of binning in re-rank + gathers.
+
+    Depth ordering comes from a PRE-sort of the N Gaussians by view depth
+    (stable argsort, ties = index order — exactly the oracle's ordering):
+    pairs are then expanded in depth-rank order, so the big pair sort needs
+    only a single stable int32 tile key — the within-tile depth order rides
+    along on stability. This halves the comparator work of the old
+    (tile, depth_bits) two-key sort on a 10x larger array."""
     n_tiles = n_tiles_y * n_tiles_x
+    dorder = jnp.argsort(
+        jnp.where(proj.valid, proj.depth, jnp.inf), stable=True
+    ).astype(jnp.int32)
+    mean2d_s = jnp.take(proj.mean2d, dorder, axis=0)
+    radius_s = jnp.take(proj.radius, dorder, axis=0)
+    valid_s = jnp.take(proj.valid, dorder, axis=0)
     xmin, xmax, ymin, ymax = tile_rect(
-        proj.mean2d, proj.radius, tile_h, tile_w, n_tiles_y, n_tiles_x,
+        mean2d_s, radius_s, tile_h, tile_w, n_tiles_y, n_tiles_x,
         row_tile_offset,
     )
     sx = jnp.maximum(xmax - xmin, 0)
     sy = jnp.maximum(ymax - ymin, 0)
-    span = jnp.where(proj.valid & (proj.radius > 0), sx * sy, 0)  # (N,)
+    span = jnp.where(valid_s & (radius_s > 0), sx * sy, 0)  # (N,)
 
     offsets = jnp.cumsum(span) - span
     total = offsets[-1] + span[-1] if span.shape[0] > 0 else jnp.zeros((), jnp.int32)
@@ -205,11 +218,8 @@ def build_aligned_binning(
     g = _rank_in_sorted(offsets, pair_capacity).astype(jnp.int32) - 1
     g = jnp.clip(g, 0, span.shape[0] - 1)
 
-    depth_bits = jax.lax.bitcast_convert_type(
-        jnp.maximum(proj.depth, 0.0).astype(jnp.float32), jnp.int32
-    )
     table = jnp.stack(
-        [offsets, span, xmin, ymin, sx, depth_bits,
+        [offsets, span, xmin, ymin, sx, dorder,
          jnp.zeros_like(span), jnp.zeros_like(span)],
         axis=1,
     )
@@ -219,16 +229,25 @@ def build_aligned_binning(
     rows = table[g]
     off_g, span_g = rows[:, 0], rows[:, 1]
     xmin_g, ymin_g, sx_g = rows[:, 2], rows[:, 3], rows[:, 4]
-    depth_g = rows[:, 5]
+    gorig = rows[:, 5]
 
     local = p - off_g
     pvalid = (p < total) & (local >= 0) & (local < span_g)
-    tx = xmin_g + (local % jnp.maximum(sx_g, 1))
-    ty = ymin_g + (local // jnp.maximum(sx_g, 1))
+    # local // sx and local % sx via float reciprocal: int32 div/mod has no
+    # VPU hardware and costs ~20ms at 1M pairs. The +0.5 offset keeps the
+    # floor exact: (local+0.5)/sx is ≥ 0.5/sx away from any integer, far
+    # beyond f32 rounding for any realistic tile grid (sy ≤ 4096).
+    sxm = jnp.maximum(sx_g, 1)
+    lrow = jnp.floor(
+        (local.astype(jnp.float32) + 0.5) / sxm.astype(jnp.float32)
+    ).astype(jnp.int32)
+    tx = xmin_g + (local - lrow * sxm)
+    ty = ymin_g + lrow
     tile = jnp.where(pvalid, ty * n_tiles_x + tx, n_tiles).astype(jnp.int32)
-    INF_BITS = jnp.int32(0x7F800000)
-    depth_key = jnp.where(pvalid, depth_g, INF_BITS)
-    gg = jnp.where(pvalid, g, num_gaussians)
+    gg = jnp.where(pvalid, gorig, num_gaussians)
+    # barrier: `tile` feeds the histogram scatter, the concat and the sort;
+    # without it XLA re-fuses (and re-computes) the whole decode per consumer
+    tile, gg = jax.lax.optimization_barrier((tile, gg))
 
     # per-tile counts (histogram, no sort needed) -> alignment padding
     counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[tile].add(1)[:n_tiles]
@@ -250,12 +269,11 @@ def build_aligned_binning(
     tile_pad = jnp.where(pad_ok, t_pad, n_tiles).astype(jnp.int32)
 
     tile_all = jnp.concatenate([tile, tile_pad])
-    depth_all = jnp.concatenate([depth_key, jnp.full((n_pad_slots,), INF_BITS)])
     g_all = jnp.concatenate([gg, jnp.full((n_pad_slots,), num_gaussians, jnp.int32)])
 
-    _, _, sorted_g = jax.lax.sort(
-        (tile_all, depth_all, g_all), num_keys=2, is_stable=True
-    )
+    # single stable tile-key sort: real pairs are already in depth-rank
+    # order and padding pairs follow them, so stability finishes the job
+    _, sorted_g = jax.lax.sort((tile_all, g_all), num_keys=1, is_stable=True)
     return AlignedBinning(
         pair_gaussian=sorted_g,
         pair_valid=sorted_g < num_gaussians,

@@ -91,6 +91,24 @@ def _chunk_columns(block):
     return at, col
 
 
+def _scan_leading(x, op, fill, reverse=False):
+    """Inclusive Hillis-Steele scan along the (untiled) leading axis.
+
+    log2(K) stages of full-width vector ops — this is what replaces the
+    per-pair sequential transmittance loop. Multiplicative space (not
+    log/exp) keeps the rounding at ulp scale vs the sequential product."""
+    k = x.shape[0]
+    d = 1
+    while d < k:
+        pad = jnp.full((d,) + x.shape[1:], fill, x.dtype)
+        if reverse:
+            x = op(x, jnp.concatenate([x[d:], pad], axis=0))
+        else:
+            x = op(x, jnp.concatenate([pad, x[:-d]], axis=0))
+        d *= 2
+    return x
+
+
 def _alpha_matrix(col, px, py, base, count, chunk):
     """Vectorized per-chunk Gaussian evaluation.
 
@@ -131,8 +149,6 @@ def _fwd_kernel(cfg: _CompositeConfig):
         out_d,
         out_nc,
         buf,
-        alpha_ref,
-        w_ref,
         sem,
     ):
         t = pl.program_id(0)
@@ -152,22 +168,16 @@ def _fwd_kernel(cfg: _CompositeConfig):
         def _():
             dma(0, 0).start()
 
-        def seq_body(j, inner):
-            # `done` is a float 0/1 mask: vector-bool loop carries do not
-            # legalize in Mosaic's scf lowering
-            T, nc, done, base = inner
-            a = alpha_ref[j]
-            contrib = a > 0.0
-            test_t = T * (1.0 - a)
-            terminator = contrib & (test_t < T_EPS)
-            include = contrib & (done == 0.0) & jnp.logical_not(terminator)
-            w_ref[j] = jnp.where(include, T * a, 0.0)
-            T = jnp.where(include, test_t, T)
-            nc = jnp.where(include, base + j + 1, nc)
-            done = jnp.maximum(done, terminator.astype(jnp.float32))
-            return (T, nc, done, base)
-
         def chunk_body(carry):
+            # The transmittance recurrence is fully vectorized: with
+            # t_incl_j = T_in * prod_{k<=j, contrib}(1-a_k) (an inclusive
+            # cumprod, monotonically nonincreasing), the sequential
+            # include/terminate rule collapses to
+            #   include_j = contrib_j & (t_incl_j >= T_EPS) & !done_in
+            # — monotonicity means "some earlier pair crossed T_EPS" is the
+            # same event as "t_incl_j < T_EPS", so no or-scan is needed.
+            # `done` is a float 0/1 mask: vector-bool loop carries do not
+            # legalize in Mosaic's scf lowering.
             ci, alldone, T, r, g, b, d, nc, done = carry
             slot = ci % 2
             # double buffering: prefetch the next chunk while computing
@@ -177,17 +187,38 @@ def _fwd_kernel(cfg: _CompositeConfig):
 
             dma(slot, ci).wait()
             at, col = _chunk_columns(buf[slot])
-            alpha_c, _ = _alpha_matrix(col, px, py, ci * chunk, count, chunk)
-            alpha_ref[:] = alpha_c
-            T, nc, done, _ = jax.lax.fori_loop(
-                0, chunk, seq_body, (T, nc, done, ci * chunk)
-            )
-            # chunk-vectorized accumulation of color / depth
-            w = w_ref[:]
+            alpha, _ = _alpha_matrix(col, px, py, ci * chunk, count, chunk)
+            one_m = 1.0 - alpha  # == 1 where masked (alpha == 0)
+            t_incl = T[None] * _scan_leading(one_m, jnp.multiply, 1.0)
+            include = (alpha > 0.0) & (t_incl >= T_EPS) & (done[None] == 0.0)
+            # exclusive form (T seen by pair j) = inclusive shifted by one
+            t_excl = jnp.concatenate([T[None], t_incl[:-1]], axis=0)
+            w = jnp.where(include, t_excl * alpha, 0.0)
             r = r + jnp.sum(w * col(6), axis=0)
             g = g + jnp.sum(w * col(7), axis=0)
             b = b + jnp.sum(w * col(8), axis=0)
             d = d + jnp.sum(w * col(9), axis=0)
+            # post-chunk T = t_incl at the last included pair (t_incl is
+            # nonincreasing, so that's the min over included; no include →
+            # T unchanged). Mosaic has no reduce_prod; this needs none.
+            T = jnp.minimum(
+                T, jnp.min(jnp.where(include, t_incl, jnp.float32(3.4e38)), axis=0)
+            )
+            pos1 = (ci * chunk + 1) + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1, 1), 0
+            )
+            nc = jnp.maximum(
+                nc, jnp.max(jnp.where(include, pos1, 0), axis=0)
+            )
+            done = jnp.maximum(
+                done,
+                jnp.max(
+                    jnp.where(
+                        (alpha > 0.0) & (t_incl < T_EPS), 1.0, 0.0
+                    ),
+                    axis=0,
+                ),
+            )
             # early-exit flag computed in the body: reductions inside the
             # while condition region do not legalize
             alldone = jnp.min(done) > 0.0
@@ -249,8 +280,6 @@ def _composite_fwd(cfg: _CompositeConfig, pair_attrs, tile_start, tile_count, ro
         out_specs=[block, block, block, block, block, block],
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_COLS, cfg.chunk), jnp.float32),
-            pltpu.VMEM((cfg.chunk, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((cfg.chunk, TILE_H, TILE_W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -284,11 +313,6 @@ def _bwd_kernel(cfg: _CompositeConfig):
         g_d_ref,
         pair_grads_hbm,
         buf,
-        alpha_ref,
-        araw_ref,
-        u_ref,
-        dalpha_ref,
-        w_ref,
         gbuf,
         sem_in,
         sem_out,
@@ -307,6 +331,12 @@ def _bwd_kernel(cfg: _CompositeConfig):
         g_d = g_d_ref[:]
 
         n_chunks = pl.cdiv(count, chunk)
+        # Chunks wholly beyond the last contributor (pos >= max nc) carry
+        # zero gradient — the forward early-exited there. Skip their compute
+        # entirely; their pair-grad slots still must be zero-filled (the
+        # segment-sum downstream reads every slot).
+        max_nc = jnp.max(nc)
+        n_act = jnp.minimum(n_chunks, pl.cdiv(max_nc, chunk))
 
         def dma_in(slot, ci):
             return pltpu.make_async_copy(
@@ -315,29 +345,42 @@ def _bwd_kernel(cfg: _CompositeConfig):
                 sem_in.at[slot],
             )
 
-        @pl.when(n_chunks > 0)
-        def _():
-            dma_in((n_chunks - 1) % 2, n_chunks - 1).start()
+        def dma_grads_out(ci):
+            return pltpu.make_async_copy(
+                gbuf,
+                pair_grads_hbm.at[
+                    :, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)
+                ],
+                sem_out,
+            )
 
-        def seq_body(jj, inner):
-            T, S, base = inner
-            j = chunk - 1 - jj  # reverse within chunk
-            pos = base + j
-            a = alpha_ref[j]
-            included = (a > 0.0) & (pos < nc)
-            alpha = jnp.where(included, a, 0.0)
-            one_m = 1.0 - alpha
-            T = jnp.where(included, T / one_m, T)
-            w = jnp.where(included, T * alpha, 0.0)
-            u = u_ref[j]
-            dalpha_ref[j] = jnp.where(included, T * u - S / one_m, 0.0)
-            w_ref[j] = w
-            S = S + w * u
-            return (T, S, base)
+        @pl.when(n_act > 0)
+        def _():
+            dma_in((n_act - 1) % 2, n_act - 1).start()
+
+        # zero-fill the inactive tail [n_act, n_chunks)
+        @pl.when(n_act < n_chunks)
+        def _():
+            gbuf[:, :] = jnp.zeros((ATTR_COLS, chunk), jnp.float32)
+
+            def tail_body(i, _):
+                cp = dma_grads_out(n_act + i)
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks - n_act, tail_body, 0)
 
         def chunk_body(carry):
+            # Fully vectorized back-to-front re-walk: inclusion here is
+            # determined by `nc` alone (forward-included pairs are EXACTLY
+            # those with alpha>0 and pos<nc — T's monotonicity means no
+            # later pair can be included after an excluded one), so the
+            # whole recurrence is two leading-axis scans:
+            #   T_before_j = T_end / revcumprod_incl(1-a)_j   (division trick)
+            #   S_j        = S_in + revcumsum_excl(w*u)_j
             cj, T, S = carry
-            ci = n_chunks - 1 - cj
+            ci = n_act - 1 - cj
             slot = ci % 2
             # prefetch the next (earlier) chunk while computing this one
             @pl.when(ci - 1 >= 0)
@@ -348,22 +391,32 @@ def _bwd_kernel(cfg: _CompositeConfig):
             block = buf[slot]
             at, col = _chunk_columns(block)
             alpha_c, alpha_raw = _alpha_matrix(col, px, py, ci * chunk, count, chunk)
-            alpha_ref[:] = alpha_c
-            araw_ref[:] = alpha_raw
+            pos = ci * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1, 1), 0
+            )
+            included = (alpha_c > 0.0) & (pos < nc[None])
+            alpha = jnp.where(included, alpha_c, 0.0)
+            one_m = 1.0 - alpha  # == 1 where excluded
             # U_j = c_j . gC + z_j gD, vectorized over the chunk
-            u_ref[:] = (
+            u = (
                 col(6) * g_r[None]
                 + col(7) * g_g[None]
                 + col(8) * g_b[None]
                 + col(9) * g_d[None]
             )
-            T, S, _ = jax.lax.fori_loop(0, chunk, seq_body, (T, S, ci * chunk))
+            rp = _scan_leading(one_m, jnp.multiply, 1.0, reverse=True)
+            t_before = T[None] / rp  # >= T_EPS by construction, no underflow
+            w = t_before * alpha  # == 0 where excluded
+            wu = w * u
+            s_rev = _scan_leading(wu, jnp.add, 0.0, reverse=True)
+            s_at = S[None] + (s_rev - wu)  # exclusive: pairs strictly after j
+            dalpha = jnp.where(included, t_before * u - s_at / one_m, 0.0)
+            T = T / rp[0]
+            S = S + s_rev[0]
 
             # ---- chunk-vectorized per-pair gradient reductions ----------
-            dalpha = dalpha_ref[:]
-            w = w_ref[:]
-            unclamped = araw_ref[:] < ALPHA_MAX
-            dpow = jnp.where(unclamped, dalpha * araw_ref[:], 0.0)
+            unclamped = alpha_raw < ALPHA_MAX
+            dpow = jnp.where(unclamped, dalpha * alpha_raw, 0.0)
 
             def red(x):
                 # two-step reduction: a single axis=(1,2) reduce creates a
@@ -410,18 +463,14 @@ def _bwd_kernel(cfg: _CompositeConfig):
                 axis=1,
             )  # (K, 16)
             gbuf[:, :] = jnp.swapaxes(grads, 0, 1)  # (16, K)
-            cp_out = pltpu.make_async_copy(
-                gbuf,
-                pair_grads_hbm.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
-                sem_out,
-            )
+            cp_out = dma_grads_out(ci)
             cp_out.start()
             cp_out.wait()
             return (cj + 1, T, S)
 
         def chunk_cond(carry):
             cj, T, S = carry
-            return cj < n_chunks
+            return cj < n_act
 
         init = (jnp.zeros((), jnp.int32), t_final, t_final * g_t)
         jax.lax.while_loop(chunk_cond, chunk_body, init)
@@ -435,7 +484,6 @@ def _composite_bwd(
     n_tiles = cfg.n_tiles_y * cfg.n_tiles_x
     imap = _tile_index_map(cfg.n_tiles_x)
     block = pl.BlockSpec((TILE_H, TILE_W), imap)
-    mat = (cfg.chunk, TILE_H, TILE_W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -452,11 +500,6 @@ def _composite_bwd(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_COLS, cfg.chunk), jnp.float32),
-            pltpu.VMEM(mat, jnp.float32),  # alpha
-            pltpu.VMEM(mat, jnp.float32),  # alpha_raw
-            pltpu.VMEM(mat, jnp.float32),  # U
-            pltpu.VMEM(mat, jnp.float32),  # dalpha
-            pltpu.VMEM(mat, jnp.float32),  # w
             pltpu.VMEM((ATTR_COLS, cfg.chunk), jnp.float32),  # grads out
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
