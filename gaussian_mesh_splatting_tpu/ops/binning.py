@@ -52,6 +52,11 @@ class AlignedBinning(NamedTuple):
     tile_start: jax.Array  # (T,) int32, multiples of chunk
     tile_count: jax.Array  # (T,) int32 true (unpadded) counts
     overflow: jax.Array  # scalar int32 pairs dropped (capacity or align)
+    # When set (build_aligned_binning), pair_gaussian holds DEPTH-RANK ids:
+    # the caller gathers per-Gaussian attributes through gaussian_order
+    # first (an N-sized gather) — this drops a column from the hot
+    # million-pair table gather.
+    gaussian_order: jax.Array | None = None  # (N,) int32 depth argsort
 
 
 def tile_rect(
@@ -218,21 +223,20 @@ def build_aligned_binning(
     g = _rank_in_sorted(offsets, pair_capacity).astype(jnp.int32) - 1
     g = jnp.clip(g, 0, span.shape[0] - 1)
 
-    table = jnp.stack(
-        [offsets, span, xmin, ymin, sx, dorder,
-         jnp.zeros_like(span), jnp.zeros_like(span)],
-        axis=1,
-    )
+    # 4-column pair table. span and the original Gaussian id are NOT
+    # needed per pair: offsets are a gapless cumsum, so every p < total has
+    # local ∈ [0, span) automatically, and pairs carry depth-RANK ids (the
+    # caller indirects per-Gaussian attributes through `gaussian_order`).
+    table = jnp.stack([offsets, xmin, ymin, sx], axis=1)
     # barrier: stop XLA fusing producers into the 1M-index gather (compile
     # time explosion otherwise)
     table, g = jax.lax.optimization_barrier((table, g))
     rows = table[g]
-    off_g, span_g = rows[:, 0], rows[:, 1]
-    xmin_g, ymin_g, sx_g = rows[:, 2], rows[:, 3], rows[:, 4]
-    gorig = rows[:, 5]
+    off_g = rows[:, 0]
+    xmin_g, ymin_g, sx_g = rows[:, 1], rows[:, 2], rows[:, 3]
 
     local = p - off_g
-    pvalid = (p < total) & (local >= 0) & (local < span_g)
+    pvalid = p < total
     # local // sx and local % sx via float reciprocal: int32 div/mod has no
     # VPU hardware and costs ~20ms at 1M pairs. The +0.5 offset keeps the
     # floor exact: (local+0.5)/sx is ≥ 0.5/sx away from any integer, far
@@ -244,7 +248,7 @@ def build_aligned_binning(
     tx = xmin_g + (local - lrow * sxm)
     ty = ymin_g + lrow
     tile = jnp.where(pvalid, ty * n_tiles_x + tx, n_tiles).astype(jnp.int32)
-    gg = jnp.where(pvalid, gorig, num_gaussians)
+    gg = jnp.where(pvalid, g, num_gaussians)
     # barrier: `tile` feeds the histogram scatter, the concat and the sort;
     # without it XLA re-fuses (and re-computes) the whole decode per consumer
     tile, gg = jax.lax.optimization_barrier((tile, gg))
@@ -280,6 +284,7 @@ def build_aligned_binning(
         tile_start=aligned_start,
         tile_count=counts,
         overflow=overflow,
+        gaussian_order=dorder,
     )
 
 

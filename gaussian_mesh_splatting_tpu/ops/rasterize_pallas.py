@@ -657,8 +657,14 @@ def rasterize_pallas(
         ],
         axis=1,
     )
+    # pair ids are depth-RANK ids: permute attribute rows to depth order
+    # first (N-sized gather), keeping row N as the zero padding row
+    order_ext = jnp.concatenate(
+        [aligned.gaussian_order, jnp.full((1,), n, jnp.int32)]
+    )
     attr = jnp.concatenate([rows, jnp.zeros((1, ATTR_COLS), rows.dtype)], axis=0)
-    attr_b, idx_b = jax.lax.optimization_barrier((attr, aligned.pair_gaussian))
+    attr_sorted = jnp.take(attr, order_ext, axis=0)
+    attr_b, idx_b = jax.lax.optimization_barrier((attr_sorted, aligned.pair_gaussian))
     pair_attrs = attr_b[idx_b].T  # (16, P_al)
 
     cfg = _CompositeConfig(

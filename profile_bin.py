@@ -71,10 +71,13 @@ def staged(stage):
         gorig = rows[:, 5]
         local = p - off_g
         pvalid = (p < total) & (local >= 0) & (local < span_g)
-        tx = xmin_g + (local % jnp.maximum(sx_g, 1))
-        ty = ymin_g + (local // jnp.maximum(sx_g, 1))
+        sxm = jnp.maximum(sx_g, 1)
+        lrow = jnp.floor((local.astype(jnp.float32) + 0.5) / sxm.astype(jnp.float32)).astype(jnp.int32)
+        tx = xmin_g + (local - lrow * sxm)
+        ty = ymin_g + lrow
         tile = jnp.where(pvalid, ty * n_tiles_x + tx, n_tiles).astype(jnp.int32)
         gg = jnp.where(pvalid, gorig, n)
+        tile, gg = jax.lax.optimization_barrier((tile, gg))
         if stage == 2:
             return tile, gg
         counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[tile].add(1)[:n_tiles]
