@@ -5,17 +5,20 @@ a dynamic total; XLA needs static shapes, so we use a capacity-bounded pair
 buffer (`pair_capacity`) and a *gather* formulation instead of scatter:
 
   1. per-Gaussian tile rect (shared with the oracle so binning semantics
-     are identical) and span size s_g;
+     are identical) and span size s_g — Gaussians are PRE-SORTED by view
+     depth (stable argsort, ties = index order, exactly the oracle's
+     ordering) so pairs are expanded in depth-rank order;
   2. exclusive cumsum -> pair offsets o_g;
   3. pair slot p finds its Gaussian via searchsorted(o, p) and decodes its
      tile from the local index p - o_g — pure gathers, MXU/VPU friendly;
-  4. lexicographic `lax.sort` by (tile_id, depth) with stable tie order =
-     Gaussian index, matching the CUDA 64-bit key radix sort and the
-     oracle's stable depth argsort;
-  5. per-tile [start, count) ranges via searchsorted.
+  4. ONE stable `lax.sort` on the int32 tile key — the within-tile depth
+     order rides along on stability thanks to the depth pre-sort (the CUDA
+     rasterizer's 64-bit (tile|depth) radix sort collapses to this);
+  5. per-tile counts computed analytically from the rects (corner-delta
+     2D prefix sum, `_analytic_tile_counts`) — no per-pair histogram.
 
 Overflow (total pairs > capacity) keeps the first `pair_capacity` pairs in
-Gaussian order and reports the overflow count so the driver can grow the
+depth-rank order and reports the overflow count so the driver can grow the
 buffer between jit calls.
 """
 from __future__ import annotations
@@ -68,32 +71,40 @@ class AlignedBinning(NamedTuple):
 
 def tile_rect(
     mean2d: jax.Array,
-    radius: jax.Array,
+    radius_x: jax.Array,
     tile_h: int,
     tile_w: int,
     n_tiles_y: int,
     n_tiles_x: int,
     row_tile_offset=0,
+    radius_y: jax.Array | None = None,
 ):
-    """Tile-rectangle [min, max) each Gaussian touches (CUDA getRect).
+    """Tile-rectangle [min, max) each Gaussian touches (CUDA getRect),
+    generalized to per-axis half-extents (projection.py radius_x/radius_y;
+    pass the scalar radius for both to replicate CUDA's square rect).
 
-    Returns (xmin, xmax, ymin, ymax) int32 arrays; empty rect when radius
-    is 0. Shared by the oracle and the Pallas path. `row_tile_offset`
-    shifts the rect into a local row band (row-sharded rendering): the
-    result is the intersection of the global rect with rows
-    [offset, offset + n_tiles_y).
+    Returns (xmin, xmax, ymin, ymax) int32 arrays; empty rect when the
+    radius is 0. Shared by the oracle and the Pallas path so binning
+    semantics are identical. `row_tile_offset` shifts the rect into a local
+    row band (row-sharded rendering): the result is the intersection of the
+    global rect with rows [offset, offset + n_tiles_y).
     """
+    if radius_y is None:
+        radius_y = radius_x
     mx, my = mean2d[..., 0], mean2d[..., 1]
-    xmin = jnp.clip(jnp.floor((mx - radius) / tile_w), 0, n_tiles_x).astype(jnp.int32)
+    empty = (radius_x <= 0) | (radius_y <= 0)
+    xmin = jnp.clip(jnp.floor((mx - radius_x) / tile_w), 0, n_tiles_x).astype(jnp.int32)
     xmax = jnp.clip(
-        jnp.floor((mx + radius + tile_w - 1) / tile_w), 0, n_tiles_x
+        jnp.floor((mx + radius_x + tile_w - 1) / tile_w), 0, n_tiles_x
     ).astype(jnp.int32)
     ymin = jnp.clip(
-        jnp.floor((my - radius) / tile_h) - row_tile_offset, 0, n_tiles_y
+        jnp.floor((my - radius_y) / tile_h) - row_tile_offset, 0, n_tiles_y
     ).astype(jnp.int32)
     ymax = jnp.clip(
-        jnp.floor((my + radius + tile_h - 1) / tile_h) - row_tile_offset, 0, n_tiles_y
+        jnp.floor((my + radius_y + tile_h - 1) / tile_h) - row_tile_offset, 0, n_tiles_y
     ).astype(jnp.int32)
+    xmax = jnp.where(empty, xmin, xmax)
+    ymax = jnp.where(empty, ymin, ymax)
     return xmin, xmax, ymin, ymax
 
 
@@ -120,13 +131,15 @@ def build_tile_binning(
     row_tile_offset=0,
 ) -> TileBinning:
     n_tiles = n_tiles_y * n_tiles_x
+    rx = proj.radius if proj.radius_x is None else proj.radius_x
+    ry = proj.radius if proj.radius_y is None else proj.radius_y
     xmin, xmax, ymin, ymax = tile_rect(
-        proj.mean2d, proj.radius, tile_h, tile_w, n_tiles_y, n_tiles_x,
-        row_tile_offset,
+        proj.mean2d, rx, tile_h, tile_w, n_tiles_y, n_tiles_x,
+        row_tile_offset, radius_y=ry,
     )
     sx = jnp.maximum(xmax - xmin, 0)
     sy = jnp.maximum(ymax - ymin, 0)
-    span = jnp.where(proj.valid & (proj.radius > 0), sx * sy, 0)  # (N,)
+    span = jnp.where(proj.valid, sx * sy, 0)  # (N,)
 
     offsets = jnp.cumsum(span) - span  # exclusive prefix sum (N,)
     total = offsets[-1] + span[-1] if span.shape[0] > 0 else jnp.zeros((), jnp.int32)
@@ -183,6 +196,66 @@ def build_tile_binning(
     )
 
 
+def _analytic_tile_counts(
+    xmin, ymin, sx, sy, span_eff, n_tiles_y, n_tiles_x
+):
+    """Exact per-tile pair counts WITHOUT a million-pair histogram scatter.
+
+    The pairs enumerated for Gaussian g are the first `span_eff[g]` cells of
+    its tile rect in row-major order: `rows_full` complete rows plus one
+    partial row of `rem` cells. Each (partial) rectangle contributes +-1 at
+    its four corners of a 2D difference grid; the per-tile counts are the
+    2D inclusive prefix sum of that grid. The corner deltas (8 per
+    Gaussian) are aggregated with a small sort + cumsum + searchsorted —
+    ~8N items instead of a scatter-add over every pair (TPU scatter-add
+    costs ~9 ms per million updates; this whole path is ~1 ms at N=100k).
+    """
+    n = xmin.shape[0]
+    sxm = jnp.maximum(sx, 1)
+    # rows_full = span_eff // sx via the float-reciprocal trick (int div has
+    # no VPU hardware); exact while span_eff < 2^22 (see decode below)
+    rows_full = jnp.floor(
+        (span_eff.astype(jnp.float32) + 0.5) / sxm.astype(jnp.float32)
+    ).astype(jnp.int32)
+    rem = span_eff - rows_full * sxm
+
+    gy = n_tiles_y + 2
+    gx = n_tiles_x + 2
+
+    def corner_ids(y0, x0, hh, ww):
+        """Corner (id, delta) quadruple of rect [y0, y0+hh) x [x0, x0+ww)."""
+        y1 = y0 + hh
+        x1 = x0 + ww
+        ids = jnp.stack(
+            [y0 * gx + x0, y0 * gx + x1, y1 * gx + x0, y1 * gx + x1], axis=0
+        )
+        deltas = jnp.stack(
+            [
+                jnp.ones((n,), jnp.int32),
+                -jnp.ones((n,), jnp.int32),
+                -jnp.ones((n,), jnp.int32),
+                jnp.ones((n,), jnp.int32),
+            ],
+            axis=0,
+        )
+        return ids.reshape(-1), deltas.reshape(-1)
+
+    ids1, d1 = corner_ids(ymin, xmin, rows_full, sx)
+    ids2, d2 = corner_ids(ymin + rows_full, xmin, jnp.ones((n,), jnp.int32), rem)
+    ids = jnp.concatenate([ids1, ids2])
+    deltas = jnp.concatenate([d1, d2])
+
+    sorted_ids, sorted_d = jax.lax.sort((ids, deltas), num_keys=1, is_stable=False)
+    csum = jnp.cumsum(sorted_d)
+    cpad = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum])
+    bounds = jnp.searchsorted(
+        sorted_ids, jnp.arange(gy * gx + 1, dtype=jnp.int32), side="left"
+    )
+    grid = (cpad[bounds[1:]] - cpad[bounds[:-1]]).reshape(gy, gx)
+    counts2d = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
+    return counts2d[:n_tiles_y, :n_tiles_x].reshape(-1)
+
+
 def build_aligned_binning(
     proj: ProjectedGaussians,
     *,
@@ -212,15 +285,18 @@ def build_aligned_binning(
         jnp.where(proj.valid, proj.depth, jnp.inf), stable=True
     ).astype(jnp.int32)
     mean2d_s = jnp.take(proj.mean2d, dorder, axis=0)
-    radius_s = jnp.take(proj.radius, dorder, axis=0)
+    rx = proj.radius if proj.radius_x is None else proj.radius_x
+    ry = proj.radius if proj.radius_y is None else proj.radius_y
+    rx_s = jnp.take(rx, dorder, axis=0)
+    ry_s = jnp.take(ry, dorder, axis=0)
     valid_s = jnp.take(proj.valid, dorder, axis=0)
     xmin, xmax, ymin, ymax = tile_rect(
-        mean2d_s, radius_s, tile_h, tile_w, n_tiles_y, n_tiles_x,
-        row_tile_offset,
+        mean2d_s, rx_s, tile_h, tile_w, n_tiles_y, n_tiles_x,
+        row_tile_offset, radius_y=ry_s,
     )
     sx = jnp.maximum(xmax - xmin, 0)
     sy = jnp.maximum(ymax - ymin, 0)
-    span = jnp.where(valid_s & (radius_s > 0), sx * sy, 0)  # (N,)
+    span = jnp.where(valid_s, sx * sy, 0)  # (N,)
 
     offsets = jnp.cumsum(span) - span
     total = offsets[-1] + span[-1] if span.shape[0] > 0 else jnp.zeros((), jnp.int32)
@@ -246,8 +322,10 @@ def build_aligned_binning(
     pvalid = p < total
     # local // sx and local % sx via float reciprocal: int32 div/mod has no
     # VPU hardware and costs ~20ms at 1M pairs. The +0.5 offset keeps the
-    # floor exact: (local+0.5)/sx is ≥ 0.5/sx away from any integer, far
-    # beyond f32 rounding for any realistic tile grid (sy ≤ 4096).
+    # floor exact: (local + 0.5)/sx is computed in f32; exactness needs
+    # local + 0.5 representable AND 0.5*ulp((local+0.5)/sx) < 0.5/sx, both
+    # of which hold while local < 2^22 (span <= n_tiles, so any grid up to
+    # ~4M tiles is safe; an 8K x 8K image has ~65K (8,128)-tiles).
     sxm = jnp.maximum(sx_g, 1)
     lrow = jnp.floor(
         (local.astype(jnp.float32) + 0.5) / sxm.astype(jnp.float32)
@@ -256,12 +334,18 @@ def build_aligned_binning(
     ty = ymin_g + lrow
     tile = jnp.where(pvalid, ty * n_tiles_x + tx, n_tiles).astype(jnp.int32)
     gg = jnp.where(pvalid, g, num_gaussians)
-    # barrier: `tile` feeds the histogram scatter, the concat and the sort;
-    # without it XLA re-fuses (and re-computes) the whole decode per consumer
+    # barrier: `tile` feeds the concat and the sort; without it XLA
+    # re-fuses (and re-computes) the whole decode per consumer
     tile, gg = jax.lax.optimization_barrier((tile, gg))
 
-    # per-tile counts (histogram, no sort needed) -> alignment padding
-    counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[tile].add(1)[:n_tiles]
+    # per-tile counts, computed ANALYTICALLY from the rects (corner-delta
+    # trick) instead of a histogram scatter over every pair. `span_eff`
+    # restricts each Gaussian to the pairs that actually fit the capacity
+    # (enumeration above stops at p == min(total, capacity)).
+    span_eff = jnp.clip(pair_capacity - offsets, 0, span)
+    counts = _analytic_tile_counts(
+        xmin, ymin, sx, sy, span_eff, n_tiles_y, n_tiles_x
+    )
     pad = (-counts) % chunk
     padded_counts = counts + pad
     aligned_start = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)

@@ -20,25 +20,29 @@ Kernel design notes (all constraints verified on v5e):
     slices; an AoS (P, 16) layout is physically padded to 128 lanes and
     unsliceable).
   * Per-pair Gaussian evaluation is VECTORIZED over the chunk: a
-    (chunk, 8, 128) alpha tensor is computed in one shot, and only the
-    inherently sequential transmittance recurrence walks pairs one by one
-    (reading (8,128) slabs via dynamic leading-index, which Mosaic allows
-    on untiled leading dims). Color accumulation and all backward
-    reductions are then chunk-vectorized contractions.
-  * Per-tile ranges are chunk-aligned (ops/binning.py:align_binning) so
-    fixed-size DMA transfers never straddle two tiles — backward writes
-    its per-pair gradient chunks without masks or races.
+    (chunk, 8, 128) alpha tensor is computed in one shot, and the
+    transmittance recurrence itself is vectorized as Hillis-Steele scans
+    along the chunk axis (see the chunk_body comments) — no per-pair
+    sequential walk anywhere. Color accumulation and all backward
+    reductions are chunk-vectorized contractions.
+  * Per-tile ranges are chunk-aligned (ops/binning.py) so fixed-size DMA
+    transfers never straddle two tiles — backward writes its per-pair
+    gradient chunks without masks or races.
 
 The backward kernel re-walks pairs back-to-front using the saved final
 transmittance and last-contributor rank (the division trick of the CUDA
 backward), reduces per-pair gradients over the pixel block via closed-form
-pixel moments (M0, Mx, My, Mxx, Mxy, Myy), writes them to HBM, and XLA's
-gather-VJP segment-sums them onto Gaussians; projection/SH gradients then
-flow by ordinary autodiff.
+pixel moments (M0, Mx, My, Mxx, Mxy, Myy) and writes them to HBM; a custom
+VJP of the pair-attribute expansion (`_get_expand_pairs`) segment-sums
+them onto Gaussians with a sort + two-level cumsum (no scatter);
+projection/SH gradients then flow by ordinary autodiff.
 
 Compositing semantics (alpha clamp 0.99, 1/255 cutoff, T<1e-4 termination
 excluding the terminator, tile-rect binning) match ops/rasterize_reference
-exactly at equal tile shape — that oracle is the conformance test.
+at equal tile shape to reassociation tolerance (the scans re-order the
+floating-point products within ulps; a pair sitting exactly on the T_EPS
+boundary could in principle flip inclusion) — that oracle is the
+conformance test, compared under tolerances.
 """
 from __future__ import annotations
 
@@ -60,6 +64,7 @@ from .rasterize_reference import ALPHA_MAX, ALPHA_MIN, RenderOutput, T_EPS
 TILE_H = 8
 TILE_W = 128
 ATTR_COLS = 16  # [mx, my, ca, cb, cc, opacity, r, g, b, depth, pad...]
+REAL_COLS = 10  # attribute columns that carry data (the rest is alignment)
 
 
 class _CompositeConfig(NamedTuple):
@@ -550,23 +555,39 @@ def _get_expand_pairs(pair_capacity: int):
     def bwd(res, ct):  # ct (ATTR_COLS, P_al)
         idx, slot, seg_start, seg_end, n_pad_row = res
         # zero rows the kernel never wrote (invalid pairs sort into the
-        # sentinel region beyond all tile ranges — uninitialized HBM)
+        # sentinel region beyond all tile ranges — uninitialized HBM).
+        # Only the REAL_COLS attribute columns carry gradient — columns
+        # [REAL_COLS, ATTR_COLS) are alignment padding with zero cotangent
+        # by construction, so the sort hauls 11 payloads, not 17.
         mask = idx != n_pad_row
-        rows = tuple(
-            jnp.where(mask, ct[c], 0.0) for c in range(ct.shape[0])
-        )
+        rows = tuple(jnp.where(mask, ct[c], 0.0) for c in range(REAL_COLS))
         out = jax.lax.sort((slot, *rows), num_keys=1, is_stable=False)
-        ct_presort = jnp.stack(out[1:], axis=1)[:pair_capacity]  # (P, C)
-        csum = jnp.cumsum(ct_presort, axis=0)
+        ct_presort = jnp.stack(out[1:], axis=1)[:pair_capacity]  # (P, R)
+        # two-level cumsum: per-block prefix sums combined with a block-level
+        # prefix keep rounding error at ~(B + P/B) ulps of the local segment
+        # scale instead of ~P ulps of the global prefix (pair gradients can
+        # sum to ~1000x a single gradient at 1M pairs; the one-level prefix
+        # put small-gradient Gaussians within a hair of the 5e-4 tolerance).
+        blk = 1024
+        nb = pair_capacity // blk  # capacity is a power of two >= 4096
+        x = ct_presort.reshape(nb, blk, REAL_COLS)
+        bsum = jnp.sum(x, axis=1)
+        bpre = jnp.cumsum(bsum, axis=0) - bsum  # exclusive block prefix
+        within = jnp.cumsum(x, axis=1)
+        csum = (bpre[:, None, :] + within).reshape(pair_capacity, REAL_COLS)
         cpad = jnp.concatenate(
-            [jnp.zeros((1, ct.shape[0]), ct.dtype), csum], axis=0
+            [jnp.zeros((1, REAL_COLS), ct.dtype), csum], axis=0
         )
         cpad_b, s_b, e_b = jax.lax.optimization_barrier(
             (cpad, seg_start, seg_end)
         )
-        seg = cpad_b[e_b] - cpad_b[s_b]  # (N, C)
+        seg = cpad_b[e_b] - cpad_b[s_b]  # (N, R)
         grad_attr = jnp.concatenate(
-            [seg, jnp.zeros((1, ct.shape[0]), ct.dtype)], axis=0
+            [seg, jnp.zeros((seg.shape[0], ct.shape[0] - REAL_COLS), ct.dtype)],
+            axis=1,
+        )
+        grad_attr = jnp.concatenate(
+            [grad_attr, jnp.zeros((1, ct.shape[0]), ct.dtype)], axis=0
         )
         return (
             grad_attr,
@@ -637,7 +658,7 @@ def rasterize_pallas(
     antialiasing: bool = False,
     mean2d_offset: jax.Array | None = None,
     alive: jax.Array | None = None,
-    radius_mode: str = "cuda",
+    radius_mode: str = "tight",
     pair_capacity: int | None = None,
     chunk: int = 128,
     interpret: bool | None = None,

@@ -78,7 +78,10 @@ def _composite_scan(
         from .binning import tile_rect
 
         rect_xmin, rect_xmax, rect_ymin, rect_ymax = tile_rect(
-            gi.mean2d, gi.radius, tile_h, tile_w, n_tiles_y, n_tiles_x
+            gi.mean2d,
+            gi.radius if gi.radius_x is None else gi.radius_x,
+            tile_h, tile_w, n_tiles_y, n_tiles_x,
+            radius_y=gi.radius if gi.radius_y is None else gi.radius_y,
         )
         in_rect = (
             (tile_x >= rect_xmin) & (tile_x < rect_xmax)
@@ -129,7 +132,7 @@ def rasterize_reference(
     antialiasing: bool = False,
     mean2d_offset: jax.Array | None = None,
     alive: jax.Array | None = None,
-    radius_mode: str = "cuda",
+    radius_mode: str = "tight",
     tile_size: tuple[int, int] = (16, 16),
 ) -> RenderOutput:
     """Render one camera view. See module docstring for semantics.

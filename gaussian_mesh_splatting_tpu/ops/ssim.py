@@ -2,9 +2,13 @@
 (utils/loss_utils.py:23-63): 11x11 Gaussian window (sigma=1.5), zero
 ('same') padding, per-channel convolution, C1=0.01^2, C2=0.03^2.
 
-Implemented as two separable 1D convolutions (the 2D window is an outer
-product of the 1D Gaussian) — fewer FLOPs and XLA fuses the elementwise
-tail. Images are (H, W, C) in [0, 1].
+The separable blur is expressed as two BANDED-MATRIX MATMULS per blur
+(blur = A_H @ img @ A_W with symmetric banded A): an 11-tap depthwise conv
+over an (H, W, 3) image leaves the TPU VPU with 3-lane vectors (channels
+minor), ~11 ms fwd+bwd at 800x800, while the same math as (H,H)x(H,W)
+matmuls rides the MXU in well under 1 ms. 'same' zero padding == the
+banded matrix truncated at the edges, exactly. Images are (H, W, C) in
+[0, 1].
 """
 from __future__ import annotations
 
@@ -25,25 +29,30 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """(n, n) symmetric banded matrix B with B[i, j] = w[j - i + half]
+    inside the band — (B @ x) is the 'same'-zero-padded 1D conv of x."""
+    w = _gaussian_window(window_size, sigma)
+    half = window_size // 2
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    k = j - i + half
+    inside = (k >= 0) & (k < window_size)
+    return np.where(inside, w[np.clip(k, 0, window_size - 1)], 0.0).astype(
+        np.float32
+    )
+
+
 def _blur(img: jax.Array, window_size: int, sigma: float) -> jax.Array:
-    """Separable 'same'-padded Gaussian blur over (H, W, C)."""
-    w = jnp.asarray(_gaussian_window(window_size, sigma))
-    # NHWC conv with depthwise 1D kernels
-    x = img[None]  # (1, H, W, C)
-    c = img.shape[-1]
-    kh = jnp.tile(w.reshape(window_size, 1, 1, 1), (1, 1, 1, c))
-    kw = jnp.tile(w.reshape(1, window_size, 1, 1), (1, 1, 1, c))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
-    pad = window_size // 2
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c,
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-        feature_group_count=c,
-    )
-    return x[0]
+    """Separable 'same'-padded Gaussian blur over (H, W, C) via two banded
+    matmuls (MXU); float32 accumulation (HIGHEST) to match the conv."""
+    h, w = img.shape[0], img.shape[1]
+    bh = jnp.asarray(_band_matrix(h, window_size, sigma))
+    bw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("hj,jwc->hwc", bh, img, precision=hi)
+    return jnp.einsum("hwc,wk->hkc", t, bw, precision=hi)
 
 
 def ssim(

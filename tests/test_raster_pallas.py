@@ -259,3 +259,38 @@ def test_render_deterministic():
         cam, bg=BG, shs=scene["shs"], sh_degree=2, interpret=True,
     ).image
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tight_radius_mode_bit_identical_to_cuda():
+    """radius_mode='tight' bins strictly fewer pairs but every dropped pair
+    has alpha < 1/255 at all pixels of its tile, so compositing output is
+    BIT-identical to 'cuda' mode in the oracle; the Pallas path differs by
+    at most an ulp (culled pairs leave the Hillis-Steele transmittance scan
+    tree, reassociating the product)."""
+    scene = activated(random_scene(jax.random.key(7), n=128))
+    # low opacities make tight rects materially smaller
+    scene["opacities"] = scene["opacities"] * 0.3
+    cam = test_camera(width=160, height=48)
+    out_cuda = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"],
+        scene["opacities"], cam, bg=BG, shs=scene["shs"], sh_degree=2,
+        interpret=True, radius_mode="cuda",
+    )
+    out_tight = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"],
+        scene["opacities"], cam, bg=BG, shs=scene["shs"], sh_degree=2,
+        interpret=True, radius_mode="tight",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_tight.image), np.asarray(out_cuda.image), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_tight.alpha), np.asarray(out_cuda.alpha), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_tight.depth), np.asarray(out_cuda.depth), atol=1e-5
+    )
+    # the reported visibility radius is mode-independent (CUDA contract)
+    np.testing.assert_array_equal(
+        np.asarray(out_tight.radii), np.asarray(out_cuda.radii)
+    )
