@@ -13,8 +13,10 @@ with a TPU-native design:
     background + crop (XLA)            — differentiable tail
 
 Kernel design notes (all constraints verified on v5e):
-  * Tile shape is (8, 128) pixels — one float32 VPU vreg — so every
-    per-Gaussian step is a handful of full-width vector ops.
+  * Logical tiles are 32x32 pixels PACKED into one (8, 128) float32 vreg
+    (see the layout note at TILE_H below) — square tiles bin ~35% fewer
+    pairs than (8, 128) strips for typical splat sizes, and every
+    per-Gaussian step is still a handful of full-width vector ops.
   * Pair attributes live in HBM as a structure-of-arrays (16, P) so
     per-chunk DMA slices are lane-aligned (Mosaic requires 128-aligned
     slices; an AoS (P, 16) layout is physically padded to 128 lanes and
@@ -61,8 +63,18 @@ from .binning import build_aligned_binning
 from .projection import preprocess
 from .rasterize_reference import ALPHA_MAX, ALPHA_MIN, RenderOutput, T_EPS
 
-TILE_H = 8
-TILE_W = 128
+TILE_H = 32  # logical binning tile (pixels) — what tile_rect/the oracle see
+TILE_W = 32
+_VREG_H = 8  # physical Pallas block: one float32 vreg
+_VREG_W = 128
+# A logical 32x32 tile is PACKED into one (8, 128) vreg: lane l, sublane s
+# hold pixel (y_in, x_in) = ((l >> 5) * 8 + s, l & 31). A converged splat
+# spans ~40 px, so square 32x32 tiles bin it into ~5 tiles where (8, 128)
+# rows binned it into ~8 — ~35% fewer pairs through binning, both kernels
+# and the gradient tail, at identical per-pair vector cost. The packed
+# planes are unscrambled to row-major images by one reshape/transpose pair
+# in XLA (`_unpack_plane`), and pixel-grad cotangents pack themselves by
+# autodiff of that unpacking.
 ATTR_COLS = 16  # [mx, my, ca, cb, cc, opacity, r, g, b, depth, pad...]
 REAL_COLS = 10  # attribute columns that carry data (the rest is alignment)
 
@@ -78,11 +90,23 @@ class _CompositeConfig(NamedTuple):
 
 
 def _pixel_coords(t, n_tiles_x, row_off=0):
+    """Pixel coordinates of grid tile t in the PACKED (8, 128) layout."""
     ty = t // n_tiles_x + row_off
     tx = t % n_tiles_x
-    px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(jnp.float32)
-    py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_VREG_H, _VREG_W), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_VREG_H, _VREG_W), 0)
+    x_in = jnp.bitwise_and(lane, TILE_W - 1)
+    y_in = jnp.right_shift(lane, 5) * _VREG_H + sub
+    px = (tx * TILE_W + x_in).astype(jnp.float32)
+    py = (ty * TILE_H + y_in).astype(jnp.float32)
     return px, py
+
+
+def _unpack_plane(p, n_tiles_y, n_tiles_x):
+    """Packed (Ty*8, Tx*128) plane -> row-major (Ty*32, Tx*32) image."""
+    x = p.reshape(n_tiles_y, _VREG_H, n_tiles_x, TILE_H // _VREG_H, TILE_W)
+    x = x.transpose(0, 3, 1, 2, 4)  # [ty, c4, s, tx, x_in]
+    return x.reshape(n_tiles_y * TILE_H, n_tiles_x * TILE_W)
 
 
 def _chunk_columns(block):
@@ -233,7 +257,7 @@ def _fwd_kernel(cfg: _CompositeConfig):
             ci, alldone, *_ = carry
             return (ci < n_chunks) & jnp.logical_not(alldone)
 
-        shape = (TILE_H, TILE_W)
+        shape = (_VREG_H, _VREG_W)
         init = (
             jnp.zeros((), jnp.int32),
             jnp.zeros((), bool),
@@ -277,7 +301,7 @@ def _composite_fwd(cfg: _CompositeConfig, pair_attrs, tile_start, tile_count, ro
     plane = jax.ShapeDtypeStruct((cfg.hp, cfg.wp), jnp.float32)
     plane_i = jax.ShapeDtypeStruct((cfg.hp, cfg.wp), jnp.int32)
     imap = _tile_index_map(cfg.n_tiles_x)
-    block = pl.BlockSpec((TILE_H, TILE_W), imap)
+    block = pl.BlockSpec((_VREG_H, _VREG_W), imap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -488,7 +512,7 @@ def _composite_bwd(
 ):
     n_tiles = cfg.n_tiles_y * cfg.n_tiles_x
     imap = _tile_index_map(cfg.n_tiles_x)
-    block = pl.BlockSpec((TILE_H, TILE_W), imap)
+    block = pl.BlockSpec((_VREG_H, _VREG_W), imap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -750,8 +774,8 @@ def rasterize_pallas(
     )  # (16, P_al)
 
     cfg = _CompositeConfig(
-        hp=hp,
-        wp=wp,
+        hp=n_tiles_y * _VREG_H,  # PACKED plane dims (one vreg per tile)
+        wp=n_tiles_x * _VREG_W,
         n_tiles_y=n_tiles_y,
         n_tiles_x=n_tiles_x,
         chunk=chunk,
@@ -762,6 +786,11 @@ def rasterize_pallas(
     row_off = jnp.asarray(row_tile_offset, jnp.int32).reshape(1)
     r, g, b, t_final, d, _nc = composite(
         pair_attrs, aligned.tile_start, aligned.tile_count, row_off
+    )
+    # unscramble the packed planes; pixel-grad cotangents repack themselves
+    # through the autodiff of this reshape/transpose
+    r, g, b, t_final, d = (
+        _unpack_plane(x, n_tiles_y, n_tiles_x) for x in (r, g, b, t_final, d)
     )
 
     h_out = hp if row_sharded else h
