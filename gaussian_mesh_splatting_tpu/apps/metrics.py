@@ -1,9 +1,12 @@
 """Offline metrics CLI — the reference's `metrics.py`.
 
-Walks {model}/test/ours_N/renders_{gs_type} vs gt, computes SSIM/PSNR (and
-LPIPS when torch+torchvision weights are available — this machine has zero
-egress, so LPIPS falls back to null with a note), writes
-results_{gs_type}.json + per_view_{gs_type}.json (metrics.py:36-93)."""
+Walks {model}/test/ours_N/renders_{gs_type} vs gt, computes SSIM/PSNR/LPIPS
+and writes results_{gs_type}.json + per_view_{gs_type}.json
+(/root/reference/metrics.py:36-93). LPIPS is the pure-JAX LPIPS v0.1
+implementation in ops/lpips.py (reference vendors lpipsPyTorch,
+modules/lpips.py:8-36); its pretrained weights cannot be downloaded on a
+zero-egress box, so when the documented weights file is absent the score
+is an honest null with a note pointing at the offline converter."""
 from __future__ import annotations
 
 import argparse
@@ -20,42 +23,25 @@ def _load_image(path: str) -> np.ndarray:
 
 
 def _lpips_fn():
-    """Try to build an LPIPS(vgg) scorer; None when weights unavailable."""
-    try:
-        import torch
-        import torchvision
+    """Build an LPIPS(vgg) scorer from ops.lpips; None when the weights
+    npz is absent (see ops/lpips.py:convert_torch_checkpoint)."""
+    import jax.numpy as jnp
 
-        weights_dir = os.environ.get("TORCH_HOME", os.path.expanduser("~/.cache/torch"))
-        vgg = torchvision.models.vgg16(weights="IMAGENET1K_V1")  # may hit network
-        vgg.eval()
+    from ..ops import lpips as lpips_mod
 
-        def lpips(a: np.ndarray, b: np.ndarray) -> float:
-            # feature-space L2 distance over VGG16 conv stages (unscaled
-            # LPIPS variant — linear head weights are a network download)
-            layers = [3, 8, 15, 22, 29]
-            mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
-            std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
-
-            def feats(x):
-                x = torch.from_numpy(x).permute(2, 0, 1)[None]
-                x = (x - mean) / std
-                out = []
-                h = x
-                for i, layer in enumerate(vgg.features):
-                    h = layer(h)
-                    if i in layers:
-                        n = h / (h.norm(dim=1, keepdim=True) + 1e-10)
-                        out.append(n)
-                return out
-
-            with torch.no_grad():
-                fa, fb = feats(a), feats(b)
-            return float(sum(((x - y) ** 2).mean() for x, y in zip(fa, fb)))
-
-        return lpips
-    except Exception as e:  # no weights / no network
-        print(f"[metrics] LPIPS unavailable ({type(e).__name__}); reporting null")
+    params = lpips_mod.load_params()
+    if params is None:
+        print(
+            "[metrics] LPIPS weights not found at "
+            f"{lpips_mod.default_weights_path()}; reporting null. Generate "
+            "the file offline with ops.lpips.convert_torch_checkpoint()."
+        )
         return None
+
+    def lpips(a: np.ndarray, b: np.ndarray) -> float:
+        return float(lpips_mod.lpips_jit(jnp.asarray(a), jnp.asarray(b), params))
+
+    return lpips
 
 
 def evaluate(model_paths: list[str]) -> None:

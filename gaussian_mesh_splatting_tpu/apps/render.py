@@ -58,6 +58,7 @@ def render_sets(args) -> None:
         white_background=bool(cfg.get("white_background", False)),
         eval=bool(cfg.get("eval", True)),
         resolution=int(cfg.get("resolution", -1)),
+        images=cfg.get("images"),
         num_splats=int(cfg.get("num_splats", 2)),
         meshes=cfg.get("meshes"),
         flame_rig=flame_rig,

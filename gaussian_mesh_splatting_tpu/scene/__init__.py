@@ -51,6 +51,7 @@ class Scene:
         white_background: bool = False,
         eval: bool = False,
         resolution: int = -1,
+        images: str | None = None,
         num_splats=2,
         meshes: list[str] | None = None,
         flame_rig=None,
@@ -61,15 +62,18 @@ class Scene:
         self.model_path = model_path
         scene_type = detect_scene_type(source_path, gs_type)
         reader = SCENE_LOAD_CALLBACKS[scene_type]
+        # `images` names the COLMAP image dir (e.g. images_2/images_4 for
+        # pre-downscaled sets, reference scene/dataset_readers.py:144-146 +
+        # full_eval.py:40-47); Blender readers key off transforms_*.json.
         if scene_type == "Blender_Mesh":
             info: SceneInfo = reader(source_path, white_background, eval, num_splats)
         elif scene_type == "Colmap_Mesh":
-            info = reader(source_path, None, eval, num_splats, meshes)
+            info = reader(source_path, images, eval, num_splats, meshes)
         elif scene_type == "Blender_FLAME":
             assert flame_rig is not None, "gs_flame needs a FLAME rig"
             info = reader(source_path, white_background, eval, flame_rig)
         elif scene_type == "Colmap":
-            info = reader(source_path, None, eval)
+            info = reader(source_path, images, eval)
         else:
             info = reader(source_path, white_background, eval)
         self.scene_info = info

@@ -53,8 +53,17 @@ def load_camera(
     trans: np.ndarray | None = None,
     scale: float = 1.0,
 ) -> tuple[Camera, np.ndarray]:
-    w, h = resolve_resolution(info.width, info.height, resolution)
+    # the resolution policy keys off the ACTUAL image dims (which differ
+    # from the intrinsics dims when training from a downscaled images_2/4
+    # dir — reference utils/camera_utils.py:20 uses cam_info.image.size,
+    # while FoV stays derived from the full-res intrinsics)
+    orig_h, orig_w = info.image.shape[:2]
+    w, h = resolve_resolution(orig_w, orig_h, resolution)
     gt = _resize(info.image, (w, h))
+    if info.alpha_mask is not None:
+        # gt_alpha_mask multiplied into the GT (scene/cameras.py:43-45)
+        mask = _resize(np.repeat(info.alpha_mask, 3, axis=2), (w, h))
+        gt = gt * mask
     cam = make_camera(
         info.R, info.T, info.fovx, info.fovy, w, h, znear=znear, zfar=zfar,
         trans=trans, scale=scale,

@@ -44,6 +44,10 @@ class CameraInfo:
     image_name: str
     width: int
     height: int
+    # 4th channel of an RGBA source image, multiplied into the GT at load
+    # (reference utils/camera_utils.py:43-47 + scene/cameras.py:43-45);
+    # None for RGB sources (mask of ones).
+    alpha_mask: np.ndarray | None = None
 
 
 @dataclasses.dataclass
@@ -170,13 +174,22 @@ def read_colmap_cameras(path: str, images_dir: str) -> list[CameraInfo]:
                 "scene/dataset_readers.py:85-95)"
             )
         image_path = os.path.join(images_dir, os.path.basename(im.name))
-        image = _load_image(image_path, white_background=False)
+        # COLMAP GTs are NOT composited: the raw RGB is kept and a 4th
+        # channel (if any) rides along as gt_alpha_mask, multiplied into the
+        # GT at camera-load time — reference utils/camera_utils.py:43-47.
+        from PIL import Image
+
+        raw = np.asarray(Image.open(image_path), dtype=np.float32) / 255.0
+        if raw.ndim == 2:
+            raw = np.repeat(raw[:, :, None], 3, axis=2)
+        alpha_mask = raw[:, :, 3:4].copy() if raw.shape[2] == 4 else None
+        image = raw[:, :, :3]
         cam_infos.append(
             CameraInfo(
                 uid=cam.id, R=R, T=T, fovy=fovy, fovx=fovx, image=image,
                 image_path=image_path,
                 image_name=os.path.splitext(os.path.basename(image_path))[0],
-                width=cam.width, height=cam.height,
+                width=cam.width, height=cam.height, alpha_mask=alpha_mask,
             )
         )
     cam_infos.sort(key=lambda c: c.image_name)

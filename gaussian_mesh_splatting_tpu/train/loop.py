@@ -47,11 +47,15 @@ def make_train_step(
     sh_degree_max: int,
     backend: str = "reference",
     to_bag_kwargs: Callable[[TrainState], dict] | None = None,
+    render_kwargs: dict | None = None,
 ) -> Callable:
     """Build the jitted step fn: (state, cam, gt, bg) -> (state, metrics).
 
     `model` is a registry module exposing to_bag. `gt` is (H, W, 3).
+    `render_kwargs` forward to the rasterizer (e.g. `pair_capacity=` so the
+    driver can grow the pair buffer when `metrics["overflow"]` fires).
     """
+    render_kwargs = render_kwargs or {}
 
     @jax.jit
     def train_step(state: TrainState, cam: Camera, gt: jax.Array, bg: jax.Array):
@@ -69,6 +73,7 @@ def make_train_step(
                 sh_degree=sh_degree_max,
                 backend=backend,
                 mean2d_offset=mean2d_offset,
+                **render_kwargs,
             )
             total, l1 = photometric_loss(out.image, gt, config.lambda_dssim)
             return total, (out, l1)
@@ -106,6 +111,12 @@ def make_train_step(
             "l1": l1,
             "psnr": psnr(out.image, gt),
             "num_visible": jnp.sum(visible),
+            # pairs silently dropped by the rasterizer's capacity-bounded
+            # binning this step — nonzero means visible Gaussians are being
+            # cut from the render; the driver must grow pair_capacity.
+            "overflow": out.overflow
+            if out.overflow is not None
+            else jnp.zeros((), jnp.int32),
         }
         return new_state, metrics
 

@@ -74,6 +74,54 @@ def test_colmap_scene_loads(tmp_path):
     assert os.path.exists(os.path.join(root, "sparse/0/points3D.ply"))
 
 
+def test_images_dir_plumbing(tmp_path):
+    """`--images images_2` must load cameras from the named (pre-downscaled)
+    dir and train at its resolution (reference scene/dataset_readers.py:
+    144-146 + full_eval.py:40-47; VERDICT r2 ask #6)."""
+    from PIL import Image
+
+    size = 16
+    root = _make_colmap_dataset(str(tmp_path / "scene"), size=size)
+    # half-res copies with a distinctive constant color
+    im2 = os.path.join(root, "images_2")
+    os.makedirs(im2)
+    for name in os.listdir(os.path.join(root, "images")):
+        arr = np.full((size // 2, size // 2, 3), [255, 0, 0], np.uint8)
+        Image.fromarray(arr, "RGB").save(os.path.join(im2, name))
+
+    scene = Scene(root, "gs", eval=False, shuffle=False, images="images_2")
+    cam, gt = scene.train_cameras[0]
+    assert gt.shape == (size // 2, size // 2, 3)  # trains at images_2 res
+    assert (cam.height, cam.width) == (size // 2, size // 2)
+    np.testing.assert_allclose(gt[..., 0], 1.0)  # it read images_2, not images
+    np.testing.assert_allclose(gt[..., 1:], 0.0)
+    # FoV still derives from the full-res intrinsics
+    default_cam, default_gt = Scene(root, "gs", eval=False, shuffle=False).train_cameras[0]
+    np.testing.assert_allclose(float(cam.tanfovx), float(default_cam.tanfovx))
+    assert default_gt.shape == (size, size, 3)
+
+
+def test_colmap_alpha_mask_multiplied_into_gt(tmp_path):
+    """RGBA COLMAP images: the 4th channel is a gt_alpha_mask multiplied
+    into the GT (reference utils/camera_utils.py:43-47 +
+    scene/cameras.py:43-45)."""
+    from PIL import Image
+
+    size = 16
+    root = _make_colmap_dataset(str(tmp_path / "scene"), size=size)
+    # overwrite with RGBA: solid gray, alpha 0 on the left half
+    for name in os.listdir(os.path.join(root, "images")):
+        arr = np.full((size, size, 4), 128, np.uint8)
+        arr[:, : size // 2, 3] = 0
+        arr[:, size // 2 :, 3] = 255
+        Image.fromarray(arr, "RGBA").save(os.path.join(root, "images", name))
+
+    scene = Scene(root, "gs", eval=False, shuffle=False)
+    _, gt = scene.train_cameras[0]
+    np.testing.assert_allclose(gt[:, : size // 2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(gt[:, size // 2 :], 128 / 255, atol=1e-6)
+
+
 def test_colmap_multimesh_end_to_end(tmp_path):
     root = _make_colmap_dataset(str(tmp_path / "scene"), with_meshes=True)
     assert detect_scene_type(root, "gs_multi_mesh") == "Colmap_Mesh"
