@@ -89,16 +89,26 @@ class _CompositeConfig(NamedTuple):
     interpret: bool
 
 
-def _pixel_coords(t, n_tiles_x, row_off=0):
-    """Pixel coordinates of grid tile t in the PACKED (8, 128) layout."""
+def _pixel_coords_full(t, n_tiles_x, row_off=0):
+    """Pixel coordinates of grid tile t in the PACKED (8, 128) layout, plus
+    the tile-local decomposition px = tx0 + x_in, py = ty0 + y_in with
+    y_in = a(lane) + sub — the backward kernel's factored pixel moments
+    contract against these parts separately."""
     ty = t // n_tiles_x + row_off
     tx = t % n_tiles_x
     lane = jax.lax.broadcasted_iota(jnp.int32, (_VREG_H, _VREG_W), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (_VREG_H, _VREG_W), 0)
     x_in = jnp.bitwise_and(lane, TILE_W - 1)
     y_in = jnp.right_shift(lane, 5) * _VREG_H + sub
-    px = (tx * TILE_W + x_in).astype(jnp.float32)
-    py = (ty * TILE_H + y_in).astype(jnp.float32)
+    tx0 = (tx * TILE_W).astype(jnp.float32)
+    ty0 = (ty * TILE_H).astype(jnp.float32)
+    px = tx0 + x_in.astype(jnp.float32)
+    py = ty0 + y_in.astype(jnp.float32)
+    return px, py, x_in, y_in, sub, tx0, ty0
+
+
+def _pixel_coords(t, n_tiles_x, row_off=0):
+    px, py, *_ = _pixel_coords_full(t, n_tiles_x, row_off)
     return px, py
 
 
@@ -136,6 +146,41 @@ def _scan_leading(x, op, fill, reverse=False):
             x = op(x, jnp.concatenate([pad, x[:-d]], axis=0))
         d *= 2
     return x
+
+
+def _scan_leading2(x, op, fill, reverse=False, group=8):
+    """Two-level inclusive scan along the leading axis: Hillis-Steele within
+    groups of `group`, then a small scan of group totals combined back in.
+
+    Full-tensor stage count drops from log2(K) to log2(group) + 1 (the
+    totals scan runs on a 1/group-sized tensor) — ~35% fewer vector ops at
+    K=128/group=8 than the flat scan, same ulp-scale rounding."""
+    k = x.shape[0]
+    if k <= group or k % group != 0:
+        return _scan_leading(x, op, fill, reverse)
+    ng = k // group
+    rest = x.shape[1:]
+    y = x.reshape(ng, group, *rest)
+    d = 1
+    while d < group:
+        pad = jnp.full((ng, d) + rest, fill, x.dtype)
+        if reverse:
+            y = op(y, jnp.concatenate([y[:, d:], pad], axis=1))
+        else:
+            y = op(y, jnp.concatenate([pad, y[:, :-d]], axis=1))
+        d *= 2
+    # (ng, ...) inclusive group totals; positive index keeps the slice
+    # static (y[:, -1] lowers to dynamic_slice, which Mosaic lacks)
+    totals = y[:, 0] if reverse else y[:, group - 1]
+    # exclusive scan of group totals (small tensor)
+    t = _scan_leading(totals, op, fill, reverse)
+    pad1 = jnp.full((1,) + rest, fill, x.dtype)
+    if reverse:
+        texc = jnp.concatenate([t[1:], pad1], axis=0)
+    else:
+        texc = jnp.concatenate([pad1, t[:-1]], axis=0)
+    y = op(y, texc[:, None])
+    return y.reshape(k, *rest)
 
 
 def _alpha_matrix(col, px, py, base, count, chunk):
@@ -218,7 +263,7 @@ def _fwd_kernel(cfg: _CompositeConfig):
             at, col = _chunk_columns(buf[slot])
             alpha, _ = _alpha_matrix(col, px, py, ci * chunk, count, chunk)
             one_m = 1.0 - alpha  # == 1 where masked (alpha == 0)
-            t_incl = T[None] * _scan_leading(one_m, jnp.multiply, 1.0)
+            t_incl = T[None] * _scan_leading2(one_m, jnp.multiply, 1.0)
             include = (alpha > 0.0) & (t_incl >= T_EPS) & (done[None] == 0.0)
             # exclusive form (T seen by pair j) = inclusive shifted by one
             t_excl = jnp.concatenate([T[None], t_incl[:-1]], axis=0)
@@ -340,16 +385,20 @@ def _bwd_kernel(cfg: _CompositeConfig):
         g_b_ref,
         g_t_ref,
         g_d_ref,
+        zeros_hbm,  # aliased to pair_grads_hbm: arrives pre-zeroed
         pair_grads_hbm,
         buf,
         gbuf,
         sem_in,
         sem_out,
     ):
+        del zeros_hbm  # only the aliasing matters; never read or written
         t = pl.program_id(0)
         start = tile_start_ref[t]
         count = tile_count_ref[t]
-        px, py = _pixel_coords(t, n_tiles_x, row_off_ref[0])
+        px, py, x_in, y_in, sub, tx0, ty0 = _pixel_coords_full(
+            t, n_tiles_x, row_off_ref[0]
+        )
 
         t_final = t_final_ref[:]
         nc = nc_ref[:]
@@ -361,9 +410,12 @@ def _bwd_kernel(cfg: _CompositeConfig):
 
         n_chunks = pl.cdiv(count, chunk)
         # Chunks wholly beyond the last contributor (pos >= max nc) carry
-        # zero gradient — the forward early-exited there. Skip their compute
-        # entirely; their pair-grad slots still must be zero-filled (the
-        # segment-sum downstream reads every slot).
+        # zero gradient — the forward stopped including there. Skip their
+        # compute AND their writes entirely: the output buffer arrives
+        # pre-zeroed through the input/output alias (a single fused XLA
+        # broadcast), where an in-kernel zero-fill loop cost one serialized
+        # DMA per skipped chunk — at bench scale ~3x more skipped than
+        # computed chunks, so the fill dominated the whole kernel.
         max_nc = jnp.max(nc)
         n_act = jnp.minimum(n_chunks, pl.cdiv(max_nc, chunk))
 
@@ -374,31 +426,18 @@ def _bwd_kernel(cfg: _CompositeConfig):
                 sem_in.at[slot],
             )
 
-        def dma_grads_out(ci):
+        def dma_grads_out(slot, ci):
             return pltpu.make_async_copy(
-                gbuf,
+                gbuf.at[slot],
                 pair_grads_hbm.at[
                     :, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)
                 ],
-                sem_out,
+                sem_out.at[slot],
             )
 
         @pl.when(n_act > 0)
         def _():
             dma_in((n_act - 1) % 2, n_act - 1).start()
-
-        # zero-fill the inactive tail [n_act, n_chunks)
-        @pl.when(n_act < n_chunks)
-        def _():
-            gbuf[:, :] = jnp.zeros((ATTR_COLS, chunk), jnp.float32)
-
-            def tail_body(i, _):
-                cp = dma_grads_out(n_act + i)
-                cp.start()
-                cp.wait()
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks - n_act, tail_body, 0)
 
         def chunk_body(carry):
             # Fully vectorized back-to-front re-walk: inclusion here is
@@ -433,11 +472,11 @@ def _bwd_kernel(cfg: _CompositeConfig):
                 + col(8) * g_b[None]
                 + col(9) * g_d[None]
             )
-            rp = _scan_leading(one_m, jnp.multiply, 1.0, reverse=True)
+            rp = _scan_leading2(one_m, jnp.multiply, 1.0, reverse=True)
             t_before = T[None] / rp  # >= T_EPS by construction, no underflow
             w = t_before * alpha  # == 0 where excluded
             wu = w * u
-            s_rev = _scan_leading(wu, jnp.add, 0.0, reverse=True)
+            s_rev = _scan_leading2(wu, jnp.add, 0.0, reverse=True)
             s_at = S[None] + (s_rev - wu)  # exclusive: pairs strictly after j
             dalpha = jnp.where(included, t_before * u - s_at / one_m, 0.0)
             T = T / rp[0]
@@ -452,12 +491,37 @@ def _bwd_kernel(cfg: _CompositeConfig):
                 # rank-1 intermediate that crashes Mosaic's layout pass
                 return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
 
-            m0 = red(dpow)
-            mx_m = red(dpow * px[None])
-            my_m = red(dpow * py[None])
-            mxx = red(dpow * (px * px)[None])
-            mxy = red(dpow * (px * py)[None])
-            myy = red(dpow * (py * py)[None])
+            # Pixel-moment sums, sublane/lane-FACTORED: in the packed layout
+            # px = tx0 + u(lane), py = ty0 + a(lane) + s(sublane), so every
+            # moment of dpow against {px, py, px^2, pxpy, py^2} reduces to
+            # sublane-weighted partials D0/D1/D2 (3 big-tensor passes instead
+            # of 10) followed by cheap (K,128) lane contractions. Working in
+            # tile-LOCAL coordinates (0..31) also kills the catastrophic
+            # cancellation the global-coordinate form had at x ~ 800 px
+            # (mxc^2*m0 - 2*mxc*mx + mxx with all terms ~1e6 of the result).
+            sub_f = sub.astype(jnp.float32)[None]  # s(sublane) as (1,8,128)
+            D0 = jnp.sum(dpow, axis=1)  # (K, 128)
+            D1 = jnp.sum(dpow * sub_f, axis=1)
+            D2 = jnp.sum(dpow * (sub_f * sub_f), axis=1)
+            u_row = x_in.astype(jnp.float32)[0:1]  # (1, 128) lane-only
+            a_row = (y_in - sub).astype(jnp.float32)[0:1]
+
+            def rsum(x):
+                return jnp.sum(x, axis=1, keepdims=True)  # (K, 1)
+
+            m0 = rsum(D0)
+            Su = rsum(D0 * u_row)
+            Sa = rsum(D0 * a_row)
+            Suu = rsum(D0 * (u_row * u_row))
+            Sua = rsum(D0 * (u_row * a_row))
+            Saa = rsum(D0 * (a_row * a_row))
+            S1 = rsum(D1)
+            S1u = rsum(D1 * u_row)
+            S1a = rsum(D1 * a_row)
+            S2 = rsum(D2)
+            Sv = Sa + S1
+            Suv = Sua + S1u
+            Svv = Saa + 2.0 * S1a + S2
 
             at2 = jnp.swapaxes(block, 0, 1)  # (K, 16)
             mxc = at2[:, 0:1]
@@ -467,11 +531,13 @@ def _bwd_kernel(cfg: _CompositeConfig):
             cc = at2[:, 4:5]
             op = at2[:, 5:6]
 
-            sdx = mxc * m0 - mx_m  # sum dpow * dx
-            sdy = myc * m0 - my_m
-            sdxx = mxc * mxc * m0 - 2.0 * mxc * mx_m + mxx
-            sdyy = myc * myc * m0 - 2.0 * myc * my_m + myy
-            sdxy = mxc * myc * m0 - mxc * my_m - myc * mx_m + mxy
+            mlx = mxc - tx0  # per-pair mean in tile-local coords
+            mly = myc - ty0
+            sdx = mlx * m0 - Su  # sum dpow * (mx - px)
+            sdy = mly * m0 - Sv
+            sdxx = mlx * mlx * m0 - 2.0 * mlx * Su + Suu
+            sdyy = mly * mly * m0 - 2.0 * mly * Sv + Svv
+            sdxy = mlx * mly * m0 - mlx * Sv - mly * Su + Suv
 
             d_mx = -(ca * sdx + cb * sdy)
             d_my = -(cc * sdy + cb * sdx)
@@ -491,10 +557,17 @@ def _bwd_kernel(cfg: _CompositeConfig):
                  zero, zero, zero, zero, zero, zero],
                 axis=1,
             )  # (K, 16)
-            gbuf[:, :] = jnp.swapaxes(grads, 0, 1)  # (16, K)
-            cp_out = dma_grads_out(ci)
-            cp_out.start()
-            cp_out.wait()
+            # double-buffered output DMA: wait only for the copy issued two
+            # iterations ago (same slot) before overwriting — the previous
+            # start();wait() pair serialized an HBM round-trip into every
+            # chunk of the walk
+            oslot = cj % 2
+            @pl.when(cj >= 2)
+            def _():
+                dma_grads_out(oslot, ci + 2).wait()
+
+            gbuf[oslot] = jnp.swapaxes(grads, 0, 1)  # (16, K)
+            dma_grads_out(oslot, ci).start()
             return (cj + 1, T, S)
 
         def chunk_cond(carry):
@@ -502,7 +575,16 @@ def _bwd_kernel(cfg: _CompositeConfig):
             return cj < n_act
 
         init = (jnp.zeros((), jnp.int32), t_final, t_final * g_t)
-        jax.lax.while_loop(chunk_cond, chunk_body, init)
+        cj_final, _, _ = jax.lax.while_loop(chunk_cond, chunk_body, init)
+
+        # drain the (up to two) outstanding gradient copies
+        @pl.when(cj_final >= 1)
+        def _():
+            dma_grads_out((cj_final - 1) % 2, n_act - cj_final).wait()
+
+        @pl.when(cj_final >= 2)
+        def _():
+            dma_grads_out((cj_final - 2) % 2, n_act - cj_final + 1).wait()
 
     return kernel
 
@@ -525,23 +607,30 @@ def _composite_bwd(
             block,  # g_b
             block,  # g_t
             block,  # g_d
+            pl.BlockSpec(memory_space=pl.ANY),  # zeros, aliased to the output
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_COLS, cfg.chunk), jnp.float32),
-            pltpu.VMEM((ATTR_COLS, cfg.chunk), jnp.float32),  # grads out
+            pltpu.VMEM((2, ATTR_COLS, cfg.chunk), jnp.float32),  # grads out (2 slots)
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # the output alias hands the kernel a pre-zeroed buffer so the kernel
+    # never writes the (majority) zero-gradient chunks past each tile's
+    # last contributor; operand index 11 counts the 3 scalar-prefetch args
+    zeros = jnp.zeros((ATTR_COLS, cfg.pair_capacity_aligned), jnp.float32)
     (pair_grads,) = pl.pallas_call(
         _bwd_kernel(cfg),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ATTR_COLS, cfg.pair_capacity_aligned), jnp.float32)
         ],
+        input_output_aliases={11: 0},
         interpret=cfg.interpret,
-    )(tile_start, tile_count, row_off, pair_attrs, t_final, nc, g_r, g_g, g_b, g_t, g_d)
+    )(tile_start, tile_count, row_off, pair_attrs, t_final, nc, g_r, g_g, g_b, g_t,
+      g_d, zeros)
     return pair_grads
 
 

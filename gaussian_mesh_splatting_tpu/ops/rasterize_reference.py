@@ -57,6 +57,7 @@ def _composite_scan(
     tile_h: int,
     tile_w: int,
     bg: jax.Array,
+    scan_chunk: int | None = None,
 ):
     """Sequential front-to-back composite over depth-sorted Gaussians."""
     dtype = proj.mean2d.dtype
@@ -111,7 +112,26 @@ def _composite_scan(
     C0 = jnp.zeros((height, width, 3), dtype)
     D0 = jnp.zeros((height, width), dtype)
     done0 = jnp.zeros((height, width), bool)
-    (T, C, D, _), _ = jax.lax.scan(step, (T0, C0, D0, done0), g)
+    init = (T0, C0, D0, done0)
+    n = order.shape[0]
+    if scan_chunk is not None and n % scan_chunk == 0 and n > scan_chunk:
+        # Chunked + rematerialized fold, identical semantics: a flat scan
+        # saves its (H, W) carries for every one of N steps, which is
+        # petabytes at oracle-vs-pallas bench scale; checkpointing each
+        # `scan_chunk`-sized group keeps only the per-group carries and
+        # recomputes inside the group on the backward pass.
+        gc = jax.tree.map(
+            lambda x: x.reshape(n // scan_chunk, scan_chunk, *x.shape[1:]), g
+        )
+
+        @jax.checkpoint
+        def chunk_step(carry, gchunk):
+            carry, _ = jax.lax.scan(step, carry, gchunk)
+            return carry, None
+
+        (T, C, D, _), _ = jax.lax.scan(chunk_step, init, gc)
+    else:
+        (T, C, D, _), _ = jax.lax.scan(step, init, g)
     image = C + T[..., None] * bg
     return image, D, 1.0 - T
 
@@ -134,6 +154,7 @@ def rasterize_reference(
     alive: jax.Array | None = None,
     radius_mode: str = "tight",
     tile_size: tuple[int, int] = (16, 16),
+    scan_chunk: int | None = None,
 ) -> RenderOutput:
     """Render one camera view. See module docstring for semantics.
 
@@ -161,7 +182,8 @@ def rasterize_reference(
     depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True)
     image, depth, alpha = _composite_scan(
-        proj, order, cam.height, cam.width, tile_size[0], tile_size[1], bg
+        proj, order, cam.height, cam.width, tile_size[0], tile_size[1], bg,
+        scan_chunk=scan_chunk,
     )
     return RenderOutput(
         image=image,

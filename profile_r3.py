@@ -126,9 +126,8 @@ pair_attrs0 = jax.block_until_ready(stage_expand(proj0))
 
 @jax.jit
 def stage_expand_vjp(proj):
-    def f(pr):
-        return stage_expand(pr).sum()
-    return jax.grad(lambda pr: stage_expand(pr).sum())(proj)
+    out, vjp = jax.vjp(stage_expand, proj)
+    return vjp(jnp.ones_like(out))
 
 
 cfg = rp._CompositeConfig(

@@ -14,6 +14,10 @@ def test_camera(width=64, height=64, fov=0.8, dist=4.0):
     return make_camera(R, T, fov, fov, width, height)
 
 
+# a helper, not a test — stop pytest collecting it from importers' namespaces
+test_camera.__test__ = False
+
+
 def random_scene(key, n=64, spread=1.0, scale_log_mean=-2.5):
     """Random Gaussians near the origin; returns dict of raw (pre-activation)
     params in the reference layout."""

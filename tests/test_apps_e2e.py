@@ -9,6 +9,8 @@ import pytest
 
 from test_io_scene import _make_blender_dataset
 
+pytestmark = pytest.mark.slow  # full CLI train/render/metrics runs (~1-2 min)
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):

@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaussian_mesh_splatting_tpu.models import flat, vanilla
+import pytest
+
 from gaussian_mesh_splatting_tpu.train import (
     densify_and_prune,
     grow_capacity,
@@ -10,6 +12,8 @@ from gaussian_mesh_splatting_tpu.train import (
     optimization_config,
     reset_opacity,
 )
+
+pytestmark = pytest.mark.slow  # many recompiles at distinct capacities (~4 min)
 
 
 def _state_with_capacity(n=8, capacity=32, gs_type="gs", key=jax.random.key(0)):

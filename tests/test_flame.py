@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussian_mesh_splatting_tpu.models.flame import (
     batch_rigid_transform,
@@ -91,6 +92,7 @@ def test_flame_forward_param_packing_and_transl():
     np.testing.assert_allclose(np.asarray(v1 - v0), 1.0, atol=1e-6)
 
 
+@pytest.mark.slow  # full FLAME decoder + render autodiff
 def test_gs_flame_end_to_end_gradients():
     """The gs_flame acceptance test: pixel gradients reach FLAME shape,
     expression, pose, neck, translation and enlargement params."""
@@ -119,6 +121,7 @@ def test_gs_flame_end_to_end_gradients():
         assert np.abs(arr).max() > 0, f"no gradient into {name}"
 
 
+@pytest.mark.slow  # full FLAME decoder + render autodiff
 def test_gs_flame_expression_changes_render():
     rig = _rig()
     model = FlameGaussianModel(rig)

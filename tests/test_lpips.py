@@ -77,6 +77,7 @@ def test_matches_numpy_rederivation_tiny():
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+@pytest.mark.slow  # 13-conv VGG16 stack on CPU
 def test_matches_numpy_rederivation_full_vgg16_plan():
     """Full 13-conv VGG16 architecture (synthetic weights, small image)."""
     params = synthetic_params(jax.random.key(2), VGG16_PLAN)

@@ -16,6 +16,9 @@ from gaussian_mesh_splatting_tpu.train import (
 
 from helpers import test_camera
 from test_train import _cameras_around, _gt_scene
+import pytest
+
+pytestmark = pytest.mark.slow  # 8-device CPU mesh renders, 30-step convergence (~2+ min)
 
 
 def _setup(n_cams=8):

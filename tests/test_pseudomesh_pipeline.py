@@ -7,6 +7,8 @@ import pytest
 
 from test_io_scene import _make_blender_dataset
 
+pytestmark = pytest.mark.slow  # full save/dummy/retarget/render pipeline
+
 
 def test_pseudomesh_save_dummy_retarget(tmp_path):
     from gaussian_mesh_splatting_tpu.apps import pseudomesh as pm

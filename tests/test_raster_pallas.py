@@ -15,6 +15,8 @@ from gaussian_mesh_splatting_tpu.ops.rasterize_reference import rasterize_refere
 
 from helpers import activated, random_scene, test_camera
 
+pytestmark = pytest.mark.slow  # full conformance sweeps vs the oracle, interpret-mode Pallas (~2-3 min)
+
 BG = jnp.array([0.1, 0.2, 0.3])
 
 

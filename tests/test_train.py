@@ -71,6 +71,7 @@ def test_ssim_matches_reference_window_normalization():
 
 # ---------------------------------------------------------------- training
 
+@pytest.mark.slow  # multi-step optimization to convergence
 def test_gs_flat_overfits_small_scene():
     """End-to-end slice: loader-free gs_flat training on oracle-rendered GT
     must overfit (PSNR clearly rising) — driver config #1 (BASELINE.md)."""
@@ -105,6 +106,7 @@ def test_gs_flat_overfits_small_scene():
     assert p1 > p0 + 3.0, (p0, p1)
 
 
+@pytest.mark.slow  # multi-step optimization to convergence
 def test_gs_mesh_overfits_and_moves_alpha():
     """gs_mesh training: loss falls, alpha/scale/features get updates,
     vertices stay frozen at vertices_lr=0 (arguments_games/__init__.py:20)."""
