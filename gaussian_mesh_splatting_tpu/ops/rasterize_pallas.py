@@ -361,6 +361,9 @@ def _composite_fwd(cfg: _CompositeConfig, pair_attrs, tile_start, tile_count, ro
         _fwd_kernel(cfg),
         grid_spec=grid_spec,
         out_shape=[plane, plane, plane, plane, plane, plane_i],
+        # tiles are independent: mark the grid parallel so Mosaic splits it
+        # across both TensorCores (megacore) instead of running sequentially
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=cfg.interpret,
     )(tile_start, tile_count, row_off, pair_attrs)
 
@@ -628,6 +631,9 @@ def _composite_bwd(
             jax.ShapeDtypeStruct((ATTR_COLS, cfg.pair_capacity_aligned), jnp.float32)
         ],
         input_output_aliases={11: 0},
+        # each tile writes a disjoint [start, start+count) pair range of the
+        # aliased output, so the grid is safe to split across megacore halves
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=cfg.interpret,
     )(tile_start, tile_count, row_off, pair_attrs, t_final, nc, g_r, g_g, g_b, g_t,
       g_d, zeros)

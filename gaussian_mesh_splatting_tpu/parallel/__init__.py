@@ -2,3 +2,4 @@ from .mesh_setup import create_mesh, local_batch_slice
 from .data_parallel import make_dp_train_step
 from . import multihost
 from .row_sharded import render_row_sharded
+from .gaussian_sharded import render_gaussian_sharded

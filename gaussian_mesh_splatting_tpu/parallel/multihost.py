@@ -76,6 +76,20 @@ def initialize(
         or bool(kwargs)
     )
     in_cluster = any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
+    # a single-entry worker list is a single-host run, not a cluster (the
+    # axon TPU plugin exports TPU_WORKER_HOSTNAMES=localhost on one-chip
+    # boxes; initializing distributed there demands a coordinator address)
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES")
+    if (
+        in_cluster
+        and hostnames is not None
+        and len([h for h in hostnames.split(",") if h]) <= 1
+        and not any(
+            os.environ.get(v) for v in _CLUSTER_ENV_VARS
+            if v != "TPU_WORKER_HOSTNAMES"
+        )
+    ):
+        in_cluster = False
     if not explicit and not in_cluster:
         return False  # plain single-host run: nothing to do
 

@@ -16,6 +16,14 @@ import os
 import sys
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# force the virtual CPU mesh even under the axon sitecustomize, which pins
+# JAX_PLATFORMS=axon (a 1-chip TPU cannot demonstrate width scaling); env
+# alone does not stick once the plugin is registered — flip the config too
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+import jax  # noqa: E402  (before multihost so the config flip lands first)
+
+jax.config.update("jax_platforms", "cpu")
 
 from gaussian_mesh_splatting_tpu.parallel import multihost
 
