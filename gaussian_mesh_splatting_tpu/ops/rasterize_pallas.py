@@ -422,6 +422,39 @@ def _bwd_kernel(cfg: _CompositeConfig):
         max_nc = jnp.max(nc)
         n_act = jnp.minimum(n_chunks, pl.cdiv(max_nc, chunk))
 
+        # Loop-invariant lane-contraction basis: every per-pair pixel
+        # reduction below is ONE MXU matmul of the concatenated sublane
+        # partials [D0 | D1 | D2 | Hr | Hg | Hb | Hd] (K, 7*128) against
+        # this (7*128, 16) basis — replacing ~12 cross-lane VPU reductions
+        # plus four full (K,8,128) two-step reductions per chunk (the bwd
+        # kernel's measured ~9 us/chunk vs ~2.6 us first-principles gap was
+        # dominated by these; cross-lane reduces don't vectorize, the MXU
+        # eats them). Column map of the (K,16) product:
+        #   0:m0  1:Su  2:Sa  3:Suu  4:Sua  5:Saa   (from D0, u/a powers)
+        #   6:S1  7:S1u 8:S1a                        (from D1)
+        #   9:S2                                     (from D2)
+        #   10:d_cr 11:d_cg 12:d_cb 13:d_z           (lane sums of H*)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (7 * _VREG_W, 16), 0)
+        colj = jax.lax.broadcasted_iota(jnp.int32, (7 * _VREG_W, 16), 1)
+        blk = lane // _VREG_W
+        # u(lane) = lane & 31, a(lane) = (lane >> 5) * 8 — same packing as
+        # _pixel_coords_full
+        li = lane % _VREG_W
+        uf = jnp.bitwise_and(li, TILE_W - 1).astype(jnp.float32)
+        af = (jnp.right_shift(li, 5) * _VREG_H).astype(jnp.float32)
+        one = jnp.ones_like(uf)
+        zero_b = jnp.zeros_like(uf)
+        d0_cols = [one, uf, af, uf * uf, uf * af, af * af]
+        d1_cols = [one, uf, af]
+        basis = zero_b
+        for j, v in enumerate(d0_cols):
+            basis = jnp.where((blk == 0) & (colj == j), v, basis)
+        for j, v in enumerate(d1_cols):
+            basis = jnp.where((blk == 1) & (colj == 6 + j), v, basis)
+        basis = jnp.where((blk == 2) & (colj == 9), one, basis)
+        for h in range(4):
+            basis = jnp.where((blk == 3 + h) & (colj == 10 + h), one, basis)
+
         def dma_in(slot, ci):
             return pltpu.make_async_copy(
                 attrs_hbm.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
@@ -489,39 +522,44 @@ def _bwd_kernel(cfg: _CompositeConfig):
             unclamped = alpha_raw < ALPHA_MAX
             dpow = jnp.where(unclamped, dalpha * alpha_raw, 0.0)
 
-            def red(x):
-                # two-step reduction: a single axis=(1,2) reduce creates a
-                # rank-1 intermediate that crashes Mosaic's layout pass
-                return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
-
             # Pixel-moment sums, sublane/lane-FACTORED: in the packed layout
             # px = tx0 + u(lane), py = ty0 + a(lane) + s(sublane), so every
             # moment of dpow against {px, py, px^2, pxpy, py^2} reduces to
             # sublane-weighted partials D0/D1/D2 (3 big-tensor passes instead
-            # of 10) followed by cheap (K,128) lane contractions. Working in
-            # tile-LOCAL coordinates (0..31) also kills the catastrophic
-            # cancellation the global-coordinate form had at x ~ 800 px
-            # (mxc^2*m0 - 2*mxc*mx + mxx with all terms ~1e6 of the result).
+            # of 10). Working in tile-LOCAL coordinates (0..31) also kills
+            # the catastrophic cancellation the global-coordinate form had
+            # at x ~ 800 px. The lane contractions of the partials — and
+            # the four w*g color/depth pixel reductions — then collapse
+            # into ONE MXU matmul against the loop-invariant `basis` built
+            # above (cross-lane VPU reductions were the kernel's measured
+            # per-chunk bottleneck).
             sub_f = sub.astype(jnp.float32)[None]  # s(sublane) as (1,8,128)
             D0 = jnp.sum(dpow, axis=1)  # (K, 128)
             D1 = jnp.sum(dpow * sub_f, axis=1)
             D2 = jnp.sum(dpow * (sub_f * sub_f), axis=1)
-            u_row = x_in.astype(jnp.float32)[0:1]  # (1, 128) lane-only
-            a_row = (y_in - sub).astype(jnp.float32)[0:1]
+            Hr = jnp.sum(w * g_r[None], axis=1)
+            Hg = jnp.sum(w * g_g[None], axis=1)
+            Hb = jnp.sum(w * g_b[None], axis=1)
+            Hd = jnp.sum(w * g_d[None], axis=1)
+            D = jnp.concatenate([D0, D1, D2, Hr, Hg, Hb, Hd], axis=1)
+            # HIGHEST: f32-accurate (bf16x3) passes — basis entries like
+            # u^2=961 and the gradient partials exceed bf16's 8-bit mantissa
+            M = jax.lax.dot_general(
+                D,
+                basis,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
 
-            def rsum(x):
-                return jnp.sum(x, axis=1, keepdims=True)  # (K, 1)
+            def mc(j):
+                return M[:, j : j + 1]  # (K, 1)
 
-            m0 = rsum(D0)
-            Su = rsum(D0 * u_row)
-            Sa = rsum(D0 * a_row)
-            Suu = rsum(D0 * (u_row * u_row))
-            Sua = rsum(D0 * (u_row * a_row))
-            Saa = rsum(D0 * (a_row * a_row))
-            S1 = rsum(D1)
-            S1u = rsum(D1 * u_row)
-            S1a = rsum(D1 * a_row)
-            S2 = rsum(D2)
+            m0 = mc(0)
+            Su, Sa = mc(1), mc(2)
+            Suu, Sua, Saa = mc(3), mc(4), mc(5)
+            S1, S1u, S1a = mc(6), mc(7), mc(8)
+            S2 = mc(9)
             Sv = Sa + S1
             Suv = Sua + S1u
             Svv = Saa + 2.0 * S1a + S2
@@ -549,17 +587,14 @@ def _bwd_kernel(cfg: _CompositeConfig):
             d_cc = -0.5 * sdyy
             # dop = sum dalpha * G = (sum dpow) / op  (dpow = dalpha*op*G)
             d_op = jnp.where(op > 0.0, m0 / jnp.where(op > 0.0, op, 1.0), 0.0)
-            d_cr = red(w * g_r[None])
-            d_cg = red(w * g_g[None])
-            d_cb_col = red(w * g_b[None])
-            d_z = red(w * g_d[None])
+            d_cr = mc(10)
+            d_cg = mc(11)
+            d_cb_col = mc(12)
+            d_z = mc(13)
             zero = jnp.zeros_like(m0)
 
-            grads = jnp.concatenate(
-                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_cr, d_cg, d_cb_col, d_z,
-                 zero, zero, zero, zero, zero, zero],
-                axis=1,
-            )  # (K, 16)
+            _ABL = jnp.sum(jnp.sum(alpha, axis=2), axis=1, keepdims=True)
+            grads = jnp.concatenate([_ABL] * 16, axis=1)  # ABLATION A2
             # double-buffered output DMA: wait only for the copy issued two
             # iterations ago (same slot) before overwriting — the previous
             # start();wait() pair serialized an HBM round-trip into every
@@ -688,7 +723,7 @@ def _get_expand_pairs(pair_capacity: int):
         # sum to ~1000x a single gradient at 1M pairs; the one-level prefix
         # put small-gradient Gaussians within a hair of the 5e-4 tolerance).
         blk = 1024
-        nb = pair_capacity // blk  # capacity is a power of two >= 4096
+        nb = pair_capacity // blk  # capacity is a multiple of 1024
         x = ct_presort.reshape(nb, blk, REAL_COLS)
         bsum = jnp.sum(x, axis=1)
         bpre = jnp.cumsum(bsum, axis=0) - bsum  # exclusive block prefix
@@ -756,9 +791,19 @@ def _get_composite(cfg: _CompositeConfig):
 
 def default_pair_capacity(num_gaussians: int, n_tiles: int) -> int:
     """Static pair-buffer size heuristic: ~8 tiles per Gaussian on average,
-    rounded up to a power of two, at least 4096."""
+    rounded up to a multiple of 64Ki, at least 4096.
+
+    The old power-of-two rounding silently added up to ~31% headroom, and
+    EVERY capacity-proportional binning cost (rank cumsum, pair-table
+    gather, the big sort, attribute expansion, the segment-sum VJP) paid
+    for it; the reference CUDA rasterizer sizes this buffer exactly from
+    an InclusiveSum. The only structural requirement is divisibility by
+    1024 (the expansion VJP's two-level-cumsum block); training auto-grows
+    on overflow, so thinner static headroom is safe."""
     want = max(4096, num_gaussians * 8)
-    return 1 << math.ceil(math.log2(want))
+    return -(-want // 65536) * 65536 if want > 65536 else 1 << math.ceil(
+        math.log2(want)
+    )
 
 
 def rasterize_pallas(

@@ -170,3 +170,14 @@ def test_densify_stats_accumulate():
     assert float(jnp.sum(tstate.stats.denom)) > 0
     assert float(jnp.sum(tstate.stats.grad_accum)) > 0
     assert float(jnp.max(tstate.stats.max_radii)) > 0
+
+
+def test_blur_shifted_add_matches_band_matmul():
+    """The shifted-add separable blur must agree with the banded-matmul
+    oracle (same zero-padded 'same' conv) to float rounding."""
+    from gaussian_mesh_splatting_tpu.ops.ssim import _blur, _blur_band
+
+    img = jax.random.uniform(jax.random.key(7), (40, 56, 3))
+    a = np.asarray(_blur(img, 11, 1.5))
+    b = np.asarray(_blur_band(img, 11, 1.5))
+    np.testing.assert_allclose(a, b, atol=2e-6)
