@@ -593,8 +593,11 @@ def _bwd_kernel(cfg: _CompositeConfig):
             d_z = mc(13)
             zero = jnp.zeros_like(m0)
 
-            _ABL = jnp.sum(jnp.sum(alpha, axis=2), axis=1, keepdims=True)
-            grads = jnp.concatenate([_ABL] * 16, axis=1)  # ABLATION A2
+            grads = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_cr, d_cg,
+                 d_cb_col, d_z, zero, zero, zero, zero, zero, zero],
+                axis=1,
+            )
             # double-buffered output DMA: wait only for the copy issued two
             # iterations ago (same slot) before overwriting — the previous
             # start();wait() pair serialized an HBM round-trip into every
@@ -790,8 +793,10 @@ def _get_composite(cfg: _CompositeConfig):
 # --------------------------------------------------------------------------
 
 def default_pair_capacity(num_gaussians: int, n_tiles: int) -> int:
-    """Static pair-buffer size heuristic: ~8 tiles per Gaussian on average,
-    rounded up to a multiple of 64Ki, at least 4096.
+    """Static pair-buffer size heuristic: ~8 tiles per Gaussian on average.
+    Sizes above 64Ki round up to a multiple of 64Ki; smaller sizes round up
+    to a power of two (both satisfy the 1024-divisibility the expansion
+    VJP's two-level cumsum needs), at least 4096.
 
     The old power-of-two rounding silently added up to ~31% headroom, and
     EVERY capacity-proportional binning cost (rank cumsum, pair-table
