@@ -38,8 +38,10 @@ def _lpips_fn():
         )
         return None
 
+    scorer = lpips_mod.make_lpips_fn(params)
+
     def lpips(a: np.ndarray, b: np.ndarray) -> float:
-        return float(lpips_mod.lpips_jit(jnp.asarray(a), jnp.asarray(b), params))
+        return float(scorer(jnp.asarray(a), jnp.asarray(b)))
 
     return lpips
 

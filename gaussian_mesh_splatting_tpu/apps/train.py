@@ -19,6 +19,27 @@ import time
 import numpy as np
 
 
+def dump_debug_state(model_path: str, it: int, tstate, cam) -> str:
+    """Dump the train step's inputs on a non-finite loss — the analogue of
+    the reference rasterizer's snapshot_fw/bw.dump written when the CUDA
+    kernel fails (arguments/__init__.py:68, README.md debugging section).
+    Everything needed to replay the step offline: params, alive mask,
+    consts, and the camera matrices."""
+    out = os.path.join(model_path, f"debug_dump_{it}.npz")
+    flat = {"step": np.asarray(int(tstate.step))}
+    leaves, _ = __import__("jax").tree.flatten_with_path(
+        {"params": tstate.params, "consts": tstate.consts}
+    )
+    for path, leaf in leaves:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    flat["alive"] = np.asarray(tstate.alive)
+    for attr in ("world_view", "full_proj", "cam_center"):
+        flat[f"camera/{attr}"] = np.asarray(getattr(cam, attr))
+    np.savez(out, **flat)
+    return out
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("train")
     # ModelParams (arguments/__init__.py:47-62)
@@ -51,13 +72,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     p.add_argument("--start_checkpoint", default=None)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="enable jax debug-nans on the train step and check "
+                        "the loss every step; on a non-finite loss, dump the "
+                        "rasterizer inputs to <model>/debug_dump_<it>.npz "
+                        "(reference train.py:235,262 + the CUDA debug dump)")
+    p.add_argument("--save_xyz", action="store_true",
+                   help="save raw Gaussian centers to <model>/xyz/<it>.npy "
+                        "every 5000 iters (reference train.py:62-64)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", action="store_true",
-                   help="shard cameras over all local devices")
+                   help="shard cameras over all local devices "
+                        "(alias for --shard data)")
+    p.add_argument("--shard", default="none",
+                   choices=["none", "data", "rows", "gaussians"],
+                   help="multi-device strategy: 'data' = camera DP, "
+                        "'rows' = tile-row (pixel) sharded rendering, "
+                        "'gaussians' = depth-slab model-sharded rendering "
+                        "(parallel/sharded_step.py, SURVEY.md §2.3)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "pallas", "reference"])
     p.add_argument("--capacity_mult", type=float, default=4.0,
                    help="densify buffer headroom over initial point count")
+    p.add_argument("--pair_capacity", type=int, default=None,
+                   help="initial rasterizer pair-buffer size (multiple of "
+                        "1024; default: heuristic). Auto-grows on overflow.")
     p.add_argument("--ip", default="127.0.0.1", help="network GUI host")
     p.add_argument("--port", type=int, default=0,
                    help="network GUI port (0 disables; reference default 6009)")
@@ -89,6 +128,11 @@ def main(argv=None):
 
     random.seed(args.seed)
     np.random.seed(args.seed)
+    if args.detect_anomaly:
+        # the analogue of torch.autograd.set_detect_anomaly (reference
+        # train.py:262): XLA re-runs any computation that produced a NaN
+        # de-optimized and raises at the primitive that made it
+        jax.config.update("jax_debug_nans", True)
 
     backend = args.backend
     if backend == "auto":
@@ -152,25 +196,48 @@ def main(argv=None):
     # rebuilt between steps, mirroring train/densify.py's grow_capacity.
     pair_capacity = None
     if backend == "pallas":
-        from ..ops.rasterize_pallas import default_pair_capacity
+        if args.pair_capacity is not None:
+            assert args.pair_capacity % 1024 == 0, "--pair_capacity must be a multiple of 1024"
+            pair_capacity = args.pair_capacity
+        else:
+            from ..ops.rasterize_pallas import default_pair_capacity
 
-        pair_capacity = default_pair_capacity(mstate["alive"].shape[0], 0)
+            pair_capacity = default_pair_capacity(mstate["alive"].shape[0], 0)
+
+    shard_mode = args.shard
+    if args.data_parallel and shard_mode == "none":
+        shard_mode = "data"
+    if jax.device_count() == 1:
+        shard_mode = "none"
 
     n_dp = 1
     dp_mesh = None
-    if args.data_parallel and jax.device_count() > 1:
+    shard_mesh = None
+    if shard_mode == "data":
         from ..core.camera import stack_cameras
         from ..parallel import create_mesh, make_dp_train_step
 
         n_dp = jax.device_count()
         dp_mesh = create_mesh()
         print(f"data-parallel over {n_dp} devices ({n_dp} cameras/step)")
+    elif shard_mode in ("rows", "gaussians"):
+        from ..parallel import create_mesh, make_sharded_train_step
+
+        shard_mesh = create_mesh()
+        print(f"{shard_mode}-sharded rendering over "
+              f"{shard_mesh.devices.size} devices")
 
     def build_step_fns(cap):
         rkw = {"pair_capacity": cap} if cap is not None else {}
-        step = make_train_step(
-            model, tx, cfg, args.sh_degree, backend=backend, render_kwargs=rkw
-        )
+        if shard_mesh is not None:
+            step = make_sharded_train_step(
+                model, tx, cfg, args.sh_degree, shard_mesh,
+                shard=shard_mode, render_kwargs=rkw,
+            )
+        else:
+            step = make_train_step(
+                model, tx, cfg, args.sh_degree, backend=backend, render_kwargs=rkw
+            )
         dp_step = (
             make_dp_train_step(model, tx, cfg, args.sh_degree, dp_mesh, backend=backend)
             if dp_mesh is not None
@@ -202,9 +269,26 @@ def main(argv=None):
         lo, hi = args.profile_steps.split(":")
         profile_range = (int(lo), int(hi))
 
+    if args.save_xyz:
+        os.makedirs(os.path.join(args.model_path, "xyz"), exist_ok=True)
+
+    # Overflow watch: metrics stay device-side (async dispatch); reading a
+    # value K steps old costs no sync because the device finished it long
+    # ago. Capacity therefore grows within K steps of the FIRST dropped
+    # pair instead of at the next %100 logging boundary (VERDICT r3 #6).
+    from collections import deque
+    overflow_lag = deque()
+    OVERFLOW_LAG_STEPS = 8
+
     start_iter = int(tstate.step)
     it_boundary = start_iter
+    last_cam = None
     for it in range(start_iter + 1, cfg.iterations + 1):
+        if args.save_xyz and (it % 5000 == 1 or it == cfg.iterations):
+            # reference train.py:62-64 (torch.save of get_xyz -> .npy here)
+            bag = model.to_bag(tstate.model_state())
+            np.save(os.path.join(args.model_path, "xyz", f"{it}.npy"),
+                    np.asarray(bag.xyz))
         if profile_range and it == profile_range[0]:
             jax.profiler.start_trace(os.path.join(args.model_path, "xprof"))
         # GUI poll (reference train.py:65-79): while a viewer is connected,
@@ -245,12 +329,31 @@ def main(argv=None):
             cam_batch = stack_cameras([cams[i][0] for i in picked])
             gt_batch = jnp.stack([jnp.asarray(cams[i][1]) for i in picked])
             tstate, metrics = dp_step_fn(tstate, cam_batch, gt_batch, bg)
+            last_cam = cam_batch
         else:
             if not order:
                 order = list(range(len(cams)))
                 rng.shuffle(order)
             cam, gt = cams[order.pop()]
             tstate, metrics = step_fn(tstate, cam, jnp.asarray(gt), bg)
+            last_cam = cam
+
+        # delayed-read overflow watch (no pipeline stall; see deque above)
+        if pair_capacity is not None and "overflow" in metrics:
+            overflow_lag.append(metrics["overflow"])
+            if len(overflow_lag) > OVERFLOW_LAG_STEPS or it == cfg.iterations:
+                if int(overflow_lag.popleft()) > 0:
+                    pair_capacity *= 2
+                    print(f"[it {it}] rasterizer pair overflow — growing "
+                          f"pair_capacity to {pair_capacity}")
+                    step_fn, dp_step_fn = build_step_fns(pair_capacity)
+                    overflow_lag.clear()
+
+        if args.detect_anomaly and not np.isfinite(float(metrics["loss"])):
+            dump = dump_debug_state(args.model_path, it, tstate, last_cam)
+            raise RuntimeError(
+                f"non-finite loss at iteration {it}; step inputs dumped to {dump}"
+            )
         if profile_range and it == profile_range[1]:
             jax.profiler.stop_trace()
             profile_range = None
@@ -286,12 +389,14 @@ def main(argv=None):
                       f"psnr {float(metrics['psnr']):.2f} "
                       f"iter {iter_ms:.1f}ms "
                       f"({(time.time()-t_start):.0f}s)")
+            if not np.isfinite(loss):
+                dump = dump_debug_state(args.model_path, it, tstate, last_cam)
+                raise RuntimeError(
+                    f"non-finite loss at iteration {it}; step inputs dumped "
+                    f"to {dump} (re-run with --detect_anomaly to catch the "
+                    f"step that produced it)"
+                )
             overflow = int(metrics.get("overflow", 0))
-            if overflow > 0 and pair_capacity is not None:
-                pair_capacity *= 2
-                print(f"[it {it}] rasterizer pair overflow ({overflow} pairs "
-                      f"dropped) — growing pair_capacity to {pair_capacity}")
-                step_fn, dp_step_fn = build_step_fns(pair_capacity)
             if it % 100 == 0:
                 logger.scalar("train_loss_patches/total_loss", loss, it)
                 logger.scalar("train_loss_patches/l1_loss", float(metrics["l1"]), it)

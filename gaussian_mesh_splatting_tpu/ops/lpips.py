@@ -103,7 +103,11 @@ def lpips(x: jax.Array, y: jax.Array, params: LPIPSParams) -> jax.Array:
     return score[0] if score.shape == (1,) else score
 
 
-lpips_jit = jax.jit(lpips, static_argnames=())
+def make_lpips_fn(params: LPIPSParams):
+    """Jitted scorer with the params (incl. the non-traceable `plan`
+    strings) closed over as compile-time constants — `jax.jit(lpips)`
+    directly would fail to abstract the plan tuple."""
+    return jax.jit(lambda x, y: lpips(x, y, params))
 
 
 def default_weights_path() -> str:

@@ -17,12 +17,19 @@ Design (TPU-first, no per-pixel sorting across devices):
      and per-tile depth order); `bg=0` makes its output the slab's
      pre-background partial.
 
-Exactness: matches the unsharded render up to the T<1e-4 early-termination
-tail — a later slab composited behind a saturated front slab contributes
-weight < 1e-4 that the unsharded walk culls pair-by-pair (same order as the
-reference CUDA kernel's per-pixel cutoff,
-renderer/gaussian_renderer/__init__.py:94-102). The conformance test
-compares under that tolerance.
+Exactness: matches the unsharded render up to the early-termination tail.
+The termination rule stops a pixel when the NEXT pair would push T below
+T_EPS=1e-4 — i.e. when T*(1-alpha) < 1e-4 — WITHOUT compositing that pair,
+so the unsharded walk can discard up to T_EPS/(1-ALPHA_MAX) = 1e-2 of
+remaining weight at a pixel whose terminator is near-opaque (alpha clamps
+at 0.99). Slab boundaries reset the local termination check, so the
+sharded render picks up part of that discarded tail: the per-pixel
+difference is bounded by the weight the unsharded walk discarded
+(<= 1e-2 worst case; measured ~1e-3 max on a dense saturating scene,
+tests/test_parallel.py::test_gaussian_sharded_matches_full_at_scale...).
+Pixels that never saturate match to reassociation tolerance. Same
+termination order as the reference CUDA kernel's per-pixel cutoff
+(renderer/gaussian_renderer/__init__.py:94-102).
 """
 from __future__ import annotations
 

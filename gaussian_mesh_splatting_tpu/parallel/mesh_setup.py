@@ -24,6 +24,18 @@ def create_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def create_mesh2d(
+    n_data: int,
+    n_model: int,
+    axis_names: tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """2-D (data x model) mesh for composed camera-DP x sharded-render
+    training (parallel/sharded_step.py). The model axis is the FAST axis so
+    one camera's portion collectives ride adjacent devices."""
+    devices = np.asarray(jax.devices()[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devices, axis_names)
+
+
 def local_batch_slice(global_batch: int, mesh: Mesh) -> tuple[int, int]:
     """(start, size) of this host's shard of a camera batch."""
     n_total = mesh.devices.size

