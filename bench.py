@@ -51,6 +51,12 @@ def main():
 
     @jax.jit
     def train_like_step(params):
+        """Full fwd+bwd+update, CHAINED like real training: the updated
+        params are the next step's input, so gradients stay on device.
+        (Returning the raw grads pytree instead makes the harness fetch
+        ~25 MB/step through the axon tunnel — a +22 ms/step measurement
+        artifact; XProf shows the device executes this module back-to-back
+        with ~0 gap, see PERF_NOTES.md round 4.)"""
         def loss_fn(p, offset):
             bag = GaussianBag(
                 xyz=p["xyz"],
@@ -65,17 +71,20 @@ def main():
             total, _ = photometric_loss(out.image, target, 0.2)
             return total
         offset = jnp.zeros((n, 2), jnp.float32)
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, offset)
-        return loss, grads
+        loss, (g_params, g_offset) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1)
+        )(params, offset)
+        new_params = jax.tree.map(lambda a, g: a - 1e-7 * g, params, g_params)
+        return new_params, loss
 
     # warmup/compile
-    loss, grads = train_like_step(params)
+    p_cur, loss = train_like_step(params)
     jax.block_until_ready(loss)
 
     iters = 10 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        loss, grads = train_like_step(params)
+        p_cur, loss = train_like_step(p_cur)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
 

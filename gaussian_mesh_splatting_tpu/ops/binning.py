@@ -32,15 +32,6 @@ import jax.numpy as jnp
 from .projection import ProjectedGaussians
 
 
-class TileBinning(NamedTuple):
-    pair_gaussian: jax.Array  # (P,) int32 source Gaussian per sorted pair
-    pair_tile: jax.Array  # (P,) int32 tile id per sorted pair (T = invalid)
-    tile_start: jax.Array  # (T,) int32 first pair index of each tile
-    tile_count: jax.Array  # (T,) int32 pair count of each tile
-    num_pairs: jax.Array  # scalar int32 valid pair count (<= P)
-    overflow: jax.Array  # scalar int32 pairs dropped due to capacity
-
-
 class AlignedBinning(NamedTuple):
     """Chunk-aligned per-tile pair layout for the Pallas kernels.
 
@@ -117,83 +108,10 @@ def _rank_in_sorted(offsets: jax.Array, length: int) -> jax.Array:
         jnp.where((offsets >= 0) & (offsets < length), 1, 0)
     )
     below = jnp.sum(offsets < 0)  # offsets before the range count everywhere
+    # NOTE: keep jnp.cumsum — lax.associative_scan's Hillis-Steele stages
+    # lower as ~20 UNFUSED slice+pad+add ops (~0.85 ms each at this size,
+    # +9 ms/step measured r4); XLA's cumsum lowering is faster here.
     return jnp.cumsum(counts) + below
-
-
-def build_tile_binning(
-    proj: ProjectedGaussians,
-    *,
-    tile_h: int,
-    tile_w: int,
-    n_tiles_y: int,
-    n_tiles_x: int,
-    pair_capacity: int,
-    row_tile_offset=0,
-) -> TileBinning:
-    n_tiles = n_tiles_y * n_tiles_x
-    rx = proj.radius if proj.radius_x is None else proj.radius_x
-    ry = proj.radius if proj.radius_y is None else proj.radius_y
-    xmin, xmax, ymin, ymax = tile_rect(
-        proj.mean2d, rx, tile_h, tile_w, n_tiles_y, n_tiles_x,
-        row_tile_offset, radius_y=ry,
-    )
-    sx = jnp.maximum(xmax - xmin, 0)
-    sy = jnp.maximum(ymax - ymin, 0)
-    span = jnp.where(proj.valid, sx * sy, 0)  # (N,)
-
-    offsets = jnp.cumsum(span) - span  # exclusive prefix sum (N,)
-    total = offsets[-1] + span[-1] if span.shape[0] > 0 else jnp.zeros((), jnp.int32)
-    num_pairs = jnp.minimum(total, pair_capacity)
-    overflow = jnp.maximum(total - pair_capacity, 0)
-
-    p = jnp.arange(pair_capacity, dtype=jnp.int32)
-    # g(p): last gaussian with offset <= p
-    g = _rank_in_sorted(offsets, pair_capacity).astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, span.shape[0] - 1)
-
-    # ONE wide row-gather instead of six scalar gathers: single-column
-    # gathers of millions of indices cost ~8 ms each on v5e, a fused
-    # (N, 8) row gather ~1 ms. Depth rides along as order-preserving int32
-    # bits (valid depths are positive floats).
-    depth_bits = jax.lax.bitcast_convert_type(
-        jnp.maximum(proj.depth, 0.0).astype(jnp.float32), jnp.int32
-    )
-    table = jnp.stack(
-        [offsets, span, xmin, ymin, sx, depth_bits,
-         jnp.zeros_like(span), jnp.zeros_like(span)],
-        axis=1,
-    )  # (N, 8) int32
-    # barrier: without it XLA fuses the producers into the 1M-index gather
-    # and TPU compile time explodes (minutes -> tens of minutes)
-    table, g = jax.lax.optimization_barrier((table, g))
-    rows = table[g]
-    off_g, span_g = rows[:, 0], rows[:, 1]
-    xmin_g, ymin_g, sx_g = rows[:, 2], rows[:, 3], rows[:, 4]
-    depth_g = rows[:, 5]
-
-    local = p - off_g
-    pvalid = (p < total) & (local >= 0) & (local < span_g)
-    tx = xmin_g + (local % jnp.maximum(sx_g, 1))
-    ty = ymin_g + (local // jnp.maximum(sx_g, 1))
-    tile = jnp.where(pvalid, ty * n_tiles_x + tx, n_tiles).astype(jnp.int32)
-    INF_BITS = jnp.int32(0x7F800000)
-    depth_key = jnp.where(pvalid, depth_g, INF_BITS)
-
-    sorted_tile, _, sorted_g = jax.lax.sort(
-        (tile, depth_key, g), num_keys=2, is_stable=True
-    )
-
-    # per-tile ranges via histogram + cumsum (no searchsorted)
-    counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[tile].add(1)[:n_tiles]
-    start = (jnp.cumsum(counts) - counts).astype(jnp.int32)
-    return TileBinning(
-        pair_gaussian=sorted_g,
-        pair_tile=sorted_tile,
-        tile_start=start,
-        tile_count=counts,
-        num_pairs=num_pairs,
-        overflow=overflow,
-    )
 
 
 def _analytic_tile_counts(
@@ -284,12 +202,21 @@ def build_aligned_binning(
     dorder = jnp.argsort(
         jnp.where(proj.valid, proj.depth, jnp.inf), stable=True
     ).astype(jnp.int32)
-    mean2d_s = jnp.take(proj.mean2d, dorder, axis=0)
     rx = proj.radius if proj.radius_x is None else proj.radius_x
     ry = proj.radius if proj.radius_y is None else proj.radius_y
-    rx_s = jnp.take(rx, dorder, axis=0)
-    ry_s = jnp.take(ry, dorder, axis=0)
-    valid_s = jnp.take(proj.valid, dorder, axis=0)
+    # ONE (N, 8) permute instead of four narrow takes: each ~100k-row take
+    # costs ~0.4 ms of fixed gather overhead on v5e; fused they cost one.
+    gtab = jnp.stack(
+        [proj.mean2d[:, 0], proj.mean2d[:, 1], rx, ry,
+         proj.valid.astype(jnp.float32), jnp.zeros_like(rx),
+         jnp.zeros_like(rx), jnp.zeros_like(rx)],
+        axis=1,
+    )
+    gtab = jnp.take(gtab, dorder, axis=0)
+    mean2d_s = gtab[:, 0:2]
+    rx_s = gtab[:, 2]
+    ry_s = gtab[:, 3]
+    valid_s = gtab[:, 4] > 0.0
     xmin, xmax, ymin, ymax = tile_rect(
         mean2d_s, rx_s, tile_h, tile_w, n_tiles_y, n_tiles_x,
         row_tile_offset, radius_y=ry_s,
@@ -393,51 +320,4 @@ def build_aligned_binning(
         pair_slot=sorted_slot,
         seg_start=jnp.clip(offsets_ext[:-1], 0, pair_capacity),
         seg_end=jnp.clip(offsets_ext[1:], 0, pair_capacity),
-    )
-
-
-def align_binning(
-    binning: TileBinning,
-    *,
-    num_gaussians: int,
-    chunk: int,
-    aligned_capacity: int,
-) -> AlignedBinning:
-    """Re-lay the sorted pair list so each tile's range is chunk-aligned.
-
-    Gather formulation: aligned slot q belongs to the tile whose aligned
-    range contains q; its source is the tile's original range at the same
-    local offset (padding beyond the true count).
-    """
-    n_tiles = binning.tile_start.shape[0]
-    counts = binning.tile_count
-    padded = -(-counts // chunk) * chunk  # per-tile aligned size
-    aligned_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-    total_aligned = aligned_start[-1] + padded[-1] if n_tiles > 0 else 0
-
-    q = jnp.arange(aligned_capacity, dtype=jnp.int32)
-    t = _rank_in_sorted(aligned_start, aligned_capacity).astype(jnp.int32) - 1
-    t = jnp.clip(t, 0, n_tiles - 1)
-    # fused per-tile row gather (see build_tile_binning)
-    ttable = jnp.stack([aligned_start, counts, binning.tile_start], axis=1)
-    ttable, t = jax.lax.optimization_barrier((ttable, t))
-    trows = ttable[t]
-    local = q - trows[:, 0]
-    valid = (local < trows[:, 1]) & (q < total_aligned)
-    src = jnp.clip(trows[:, 2] + local, 0, binning.pair_gaussian.shape[0] - 1)
-    pair_g, src = jax.lax.optimization_barrier((binning.pair_gaussian, src))
-    g = jnp.where(valid, pair_g[src], num_gaussians)
-
-    # tiles whose aligned range exceeds capacity lose pairs; track as overflow
-    clipped = jnp.maximum(aligned_start + padded - aligned_capacity, 0)
-    overflow = binning.overflow + jnp.sum(jnp.minimum(clipped, padded))
-    tile_count = jnp.minimum(
-        counts, jnp.clip(aligned_capacity - aligned_start, 0, None)
-    )
-    return AlignedBinning(
-        pair_gaussian=g,
-        pair_valid=valid,
-        tile_start=jnp.minimum(aligned_start, aligned_capacity),
-        tile_count=tile_count,
-        overflow=overflow,
     )

@@ -793,7 +793,8 @@ def _get_composite(cfg: _CompositeConfig):
 # --------------------------------------------------------------------------
 
 def default_pair_capacity(num_gaussians: int, n_tiles: int) -> int:
-    """Static pair-buffer size heuristic: ~8 tiles per Gaussian on average.
+    """Static pair-buffer size heuristic: ~7 tiles per Gaussian on average
+    (measured 6.5 at bench scale; training auto-grows on overflow).
     Sizes above 64Ki round up to a multiple of 64Ki; smaller sizes round up
     to a power of two (both satisfy the 1024-divisibility the expansion
     VJP's two-level cumsum needs), at least 4096.
@@ -805,7 +806,7 @@ def default_pair_capacity(num_gaussians: int, n_tiles: int) -> int:
     an InclusiveSum. The only structural requirement is divisibility by
     1024 (the expansion VJP's two-level-cumsum block); training auto-grows
     on overflow, so thinner static headroom is safe."""
-    want = max(4096, num_gaussians * 8)
+    want = max(4096, num_gaussians * 7)
     return -(-want // 65536) * 65536 if want > 65536 else 1 << math.ceil(
         math.log2(want)
     )

@@ -145,8 +145,22 @@ def fd_checks(n=100_000, width=800, height=800, n_dirs=4, eps=2e-3):
             "worst_rel_err": max(r["rel_err"] for r in results)}
 
 
+def psnr_curve(model_dir: str):
+    """Extract the test-PSNR curve from a training run's metrics.jsonl."""
+    path = os.path.join(model_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return None
+    curve = []
+    with open(path) as f:
+        for line in f:
+            d = json.loads(line)
+            if "test/psnr" in d:
+                curve.append({"step": d["step"], "psnr": d["test/psnr"]})
+    return curve or None
+
+
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "VERIFY_r3.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "VERIFY_r4.json"
     report = {"platform": jax.default_backend()}
     print("running oracle-vs-pallas gradient check...")
     report["oracle_grads"] = oracle_grad_check()
@@ -154,13 +168,26 @@ def main():
     print("running finite-difference checks at bench scale...")
     report["fd_checks"] = fd_checks()
     print(json.dumps(report["fd_checks"]["directions"], indent=2))
-    # merge latest verify-scene quality numbers when present
-    for res in ("/tmp/verify_out2/results_gs_mesh.json",
+    # merge the long-run convergence curve when present (verify-skill scene
+    # trained >=5k iters on the pallas TPU path)
+    for run in ("/tmp/verify5k", "/tmp/verify_out2", "/tmp/verify_out"):
+        curve = psnr_curve(run)
+        if curve:
+            report["convergence"] = {
+                "source": f"{run}: self-consistent gs_mesh scene, pallas "
+                          "backend on TPU (verify-skill recipe)",
+                "test_psnr_curve": curve,
+                "final_psnr": curve[-1]["psnr"],
+            }
+            break
+    # merge latest verify-scene metrics-CLI numbers when present
+    for res in ("/tmp/verify5k/results_gs_mesh.json",
+                "/tmp/verify_out2/results_gs_mesh.json",
                 "/tmp/verify_out/results_gs_mesh.json"):
         if os.path.exists(res):
             with open(res) as f:
                 report["quality"] = {
-                    "source": "verify-skill gs_mesh 400-iter TPU pallas run",
+                    "source": res + " (apps.metrics over apps.render output)",
                     "results": json.load(f),
                 }
             break
