@@ -120,17 +120,23 @@ def oracle_grad_check(n=40_000, width=512, height=512):
     return report
 
 
-def fd_checks(n=100_000, width=800, height=800, n_dirs=4, eps=2e-3):
-    """Directional-derivative checks at FULL bench scale (no oracle)."""
+def fd_checks(n=100_000, width=800, height=800, eps=2e-3):
+    """Directional-derivative checks at FULL bench scale (no oracle).
+
+    Directions are GRADIENT-ALIGNED (globally and per parameter block):
+    a random unit direction over the 1.9M-dim param space has a
+    directional derivative ~ ||g||/sqrt(dim) ~ 1e-5, whose central
+    difference at any linearity-respecting eps sits BELOW the f32 ulp of
+    the O(0.6) loss (6e-8) — the r4 first run produced fd values
+    quantized to ulp multiples, verifying nothing. Along g/||g|| the
+    derivative is ||g|| itself (~1e-2 here), putting the loss delta
+    ~1000 ulps above resolution while keeping the step tiny."""
     params, cam, target = make_scene(n, width, height)
     loss = jax.jit(loss_fn_factory(cam, target, n, "pallas"))
     grad = jax.jit(jax.grad(loss))
     g = grad(params)
-    results = []
-    for i in range(n_dirs):
-        kd = jax.random.split(jax.random.key(100 + i), len(params))
-        v = {k: jax.random.normal(kk, params[k].shape)
-             for k, kk in zip(params, kd)}
+
+    def check(tag, v):
         vnorm = jnp.sqrt(sum(jnp.sum(x * x) for x in v.values()))
         v = {k: x / vnorm for k, x in v.items()}
         analytic = float(sum(jnp.sum(g[k] * v[k]) for k in params))
@@ -138,8 +144,16 @@ def fd_checks(n=100_000, width=800, height=800, n_dirs=4, eps=2e-3):
         p_minus = {k: params[k] - eps * v[k] for k in params}
         fd = float((loss(p_plus) - loss(p_minus)) / (2 * eps))
         denom = max(abs(fd), abs(analytic), 1e-12)
-        results.append({"dir": i, "analytic": analytic, "fd": fd,
-                        "rel_err": abs(fd - analytic) / denom})
+        return {"dir": tag, "analytic": analytic, "fd": fd,
+                "rel_err": abs(fd - analytic) / denom}
+
+    results = [check("grad", g)]
+    for k in params:
+        if float(jnp.sum(g[k] * g[k])) == 0.0:
+            continue
+        v = {kk: (g[kk] if kk == k else jnp.zeros_like(g[kk]))
+             for kk in params}
+        results.append(check(f"grad/{k}", v))
     return {"n_gaussians": n, "image": [height, width], "eps": eps,
             "directions": results,
             "worst_rel_err": max(r["rel_err"] for r in results)}
