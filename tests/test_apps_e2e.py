@@ -219,3 +219,138 @@ def test_train_cli_sharded_rendering(dataset, tmp_path_factory, shard):
     ])
     assert int(state.step) == 3
     assert np.all(np.isfinite(np.asarray(state.params["alpha"])))
+
+
+def test_train_vanilla_gs_with_densify_and_sh_warmup(dataset, tmp_path_factory):
+    """The `gs` driver config (BASELINE.md: ficus with densification, in
+    miniature): vanilla 3DGS through the train CLI with densify events,
+    opacity reset and the SH degree warm-up boundary crossed."""
+    from gaussian_mesh_splatting_tpu.apps import train as train_app
+    from gaussian_mesh_splatting_tpu.io.ply import store_point_cloud
+
+    rng = np.random.default_rng(3)
+    store_point_cloud(
+        os.path.join(dataset, "points3d.ply"),
+        rng.normal(size=(48, 3)) * 0.5,
+        rng.integers(0, 255, (48, 3)),
+    )
+    model_path = str(tmp_path_factory.mktemp("outg") / "model")
+    state = train_app.main([
+        "--gs_type", "gs", "-s", dataset, "-m", model_path,
+        "--iterations", "12", "--quiet", "--backend", "reference",
+        "--sh_degree", "2",
+        "--test_iterations", "-1", "--save_iterations", "12",
+        "--densification_interval", "4", "--densify_from_iter", "2",
+        "--densify_until_iter", "11", "--opacity_reset_interval", "9",
+        "--densify_grad_threshold", "1e-9", "--capacity_mult", "3",
+    ])
+    assert int(state.step) == 12
+    alive = int(np.asarray(state.alive).sum())
+    assert alive > 48, f"densification no-op: {alive}"
+    snap = os.path.join(model_path, "point_cloud", "iteration_12",
+                        "point_cloud.ply")
+    assert os.path.exists(snap)
+    assert np.all(np.isfinite(np.asarray(state.params["xyz"])))
+
+
+@pytest.fixture(scope="module")
+def trained_mesh_model(dataset, tmp_path_factory):
+    """A tiny trained gs_mesh model dir shared by the animation CLIs."""
+    from gaussian_mesh_splatting_tpu.apps import train as train_app
+
+    model_path = str(tmp_path_factory.mktemp("anim") / "model")
+    train_app.main([
+        "--gs_type", "gs_mesh", "-s", dataset, "-m", model_path,
+        "--iterations", "3", "--num_splats", "2", "--quiet",
+        "--backend", "reference", "--eval",
+        "--test_iterations", "-1", "--save_iterations", "3",
+    ])
+    return model_path
+
+
+def test_render_animated_cli(trained_mesh_model):
+    """Mesh-animation driver (reference scripts/render_time_animated.py):
+    deform vertices per frame, re-derive Gaussians, render the sequence."""
+    from gaussian_mesh_splatting_tpu.apps import render_animated
+
+    render_animated.main([
+        "-m", trained_mesh_model, "--frames", "3", "--deform", "fly",
+    ])
+    out = os.path.join(trained_mesh_model, "animated_fly")
+    frames = sorted(os.listdir(out))
+    assert len(frames) == 3
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join(out, frames[0])))
+    assert img.shape[-1] == 3 and img.size > 0
+
+
+def test_render_mesh_morph_cli(trained_mesh_model, dataset, tmp_path):
+    """Mesh-to-mesh morph driver (reference renders_to_mesh_transform)."""
+    from gaussian_mesh_splatting_tpu.apps import render_mesh_morph
+    from gaussian_mesh_splatting_tpu.io.obj import load_obj, save_obj
+
+    v, f = load_obj(os.path.join(dataset, "mesh.obj"))
+    target = str(tmp_path / "target.obj")
+    save_obj(target, v + np.array([0.2, 0.0, 0.1], np.float32), f)
+    render_mesh_morph.main([
+        "-m", trained_mesh_model, "--target_mesh", target, "--frames", "2",
+    ])
+    out = os.path.join(trained_mesh_model, "mesh_morph")
+    assert len(os.listdir(out)) == 2
+
+
+def test_flame_cli_pipeline_with_synthetic_pickle(dataset, tmp_path_factory):
+    """FULL gs_flame driver config through the CLIs: a synthetic rig
+    serialized in the REAL FLAME pickle format (the keys/shapes
+    load_flame_pickle parses, decoder.py:50-68) -> train CLI -> pose-driven
+    render_flame CLI with jaw/expression animation and OBJ dump."""
+    import pickle
+
+    import jax
+
+    from gaussian_mesh_splatting_tpu.apps import render_flame
+    from gaussian_mesh_splatting_tpu.apps import train as train_app
+    from gaussian_mesh_splatting_tpu.models.flame.decoder import (
+        NUM_JOINTS,
+        make_random_flame_like_rig,
+    )
+
+    rig = make_random_flame_like_rig(jax.random.key(5), n_verts=64)
+    m = rig.lbs_model
+    nv = m.v_template.shape[0]
+    n_pose = m.posedirs.shape[0]
+    pkl = {
+        "kintree_table": np.stack([
+            np.asarray(rig.parents, np.int64),
+            np.arange(NUM_JOINTS, dtype=np.int64),
+        ]),
+        "v_template": np.asarray(m.v_template, np.float64),
+        "shapedirs": np.asarray(m.shapedirs, np.float64),
+        # file layout (V, 3, P); the loader flattens back to (P, V*3)
+        "posedirs": np.asarray(m.posedirs, np.float64).T.reshape(nv, 3, n_pose),
+        "J_regressor": np.asarray(m.j_regressor, np.float64),
+        "weights": np.asarray(m.lbs_weights, np.float64),
+        "f": np.asarray(m.faces, np.int64),
+    }
+    pkl_path = str(tmp_path_factory.mktemp("flame") / "flame_synth.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump(pkl, f)
+
+    model_path = str(tmp_path_factory.mktemp("outf") / "model")
+    state = train_app.main([
+        "--gs_type", "gs_flame", "-s", dataset, "-m", model_path,
+        "--flame_model", pkl_path, "--eval",
+        "--iterations", "3", "--quiet", "--backend", "reference",
+        "--test_iterations", "-1", "--save_iterations", "3",
+    ])
+    assert int(state.step) == 3
+    assert np.all(np.isfinite(np.asarray(state.params["flame_shape"])))
+
+    render_flame.main([
+        "-m", model_path, "--animated", "--frames", "2", "--dump_obj",
+    ])
+    out = os.path.join(model_path, "renders_flame_animated")
+    names = sorted(os.listdir(out))
+    assert "00000.png" in names and "00001.png" in names
+    assert "head_00000.obj" in names  # decoded head geometry dumped
