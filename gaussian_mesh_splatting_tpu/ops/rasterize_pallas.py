@@ -361,8 +361,10 @@ def _composite_fwd(cfg: _CompositeConfig, pair_attrs, tile_start, tile_count, ro
         _fwd_kernel(cfg),
         grid_spec=grid_spec,
         out_shape=[plane, plane, plane, plane, plane, plane_i],
-        # tiles are independent: mark the grid parallel so Mosaic splits it
-        # across both TensorCores (megacore) instead of running sequentially
+        # tiles are independent: the parallel marking lets Mosaic split the
+        # grid across TensorCores on megacore parts (v4/v5p). Measured r4:
+        # a NO-OP on this v5e (single TensorCore — "arbitrary" times
+        # identically), kept for correctness on multi-core parts.
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=cfg.interpret,
     )(tile_start, tile_count, row_off, pair_attrs)
@@ -670,7 +672,8 @@ def _composite_bwd(
         ],
         input_output_aliases={11: 0},
         # each tile writes a disjoint [start, start+count) pair range of the
-        # aliased output, so the grid is safe to split across megacore halves
+        # aliased output, so the grid is safe to split across megacore
+        # halves (no-op on this single-TensorCore v5e; see the fwd note)
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=cfg.interpret,
     )(tile_start, tile_count, row_off, pair_attrs, t_final, nc, g_r, g_g, g_b, g_t,
