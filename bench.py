@@ -75,16 +75,32 @@ def main():
             loss_fn, argnums=(0, 1)
         )(params, offset)
         new_params = jax.tree.map(lambda a, g: a - 1e-7 * g, params, g_params)
-        return new_params, loss
+        # Gradient attestation (scalar, so the tunnel fetch is free): the
+        # r3/r4 benches were silently measured on probe-ablated backward
+        # kernels that emitted zero gradients.  This bench refuses to print
+        # a number unless the rasterizer backward demonstrably produced
+        # nonzero gradients for the pair attributes AND the screen-space
+        # means (the densification signal).
+        grad_norm = sum(
+            jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(g_params)
+        ) + jnp.sum(jnp.abs(g_offset))
+        return new_params, loss, grad_norm
 
     # warmup/compile
-    p_cur, loss = train_like_step(params)
+    p_cur, loss, grad_norm = train_like_step(params)
     jax.block_until_ready(loss)
+    gn = float(grad_norm)
+    if not (gn > 1e-3):
+        raise SystemExit(
+            f"BENCH REFUSED: rasterizer backward produced ~zero gradients "
+            f"(|g|_1 = {gn}) - a backward ablation/probe is in the tree; "
+            f"any timing from this build would not be a fwd+bwd number."
+        )
 
     iters = 10 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        p_cur, loss = train_like_step(p_cur)
+        p_cur, loss, grad_norm = train_like_step(p_cur)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
 

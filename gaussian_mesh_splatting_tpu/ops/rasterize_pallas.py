@@ -605,9 +605,12 @@ def _bwd_kernel(cfg: _CompositeConfig):
             # start();wait() pair serialized an HBM round-trip into every
             # chunk of the walk
             oslot = cj % 2
-            gs = jnp.sum(grads, axis=0)  # (16,)
-            T = T + 0.0 * jnp.sum(gs)  # PROBE keepalive (scalar broadcast)
-            _unused = (oslot, gbuf)
+            @pl.when(cj >= 2)
+            def _():
+                dma_grads_out(oslot, ci + 2).wait()
+
+            gbuf[oslot] = jnp.swapaxes(grads, 0, 1)  # (16, K)
+            dma_grads_out(oslot, ci).start()
             return (cj + 1, T, S)
 
         def chunk_cond(carry):
@@ -617,7 +620,14 @@ def _bwd_kernel(cfg: _CompositeConfig):
         init = (jnp.zeros((), jnp.int32), t_final, t_final * g_t)
         cj_final, _, _ = jax.lax.while_loop(chunk_cond, chunk_body, init)
 
-        del cj_final  # PROBE: no out-DMA to drain
+        # drain the (up to two) outstanding gradient copies
+        @pl.when(cj_final >= 1)
+        def _():
+            dma_grads_out((cj_final - 1) % 2, n_act - cj_final).wait()
+
+        @pl.when(cj_final >= 2)
+        def _():
+            dma_grads_out((cj_final - 2) % 2, n_act - cj_final + 1).wait()
 
     return kernel
 
