@@ -317,6 +317,10 @@ def main(argv=None):
         # steps dispatch asynchronously — no host sync here; floats are
         # pulled from `metrics` only at the logging boundary below, so the
         # device keeps multiple steps in flight (VERDICT r2 ask #7)
+        # keep the PRE-step state alive for --detect_anomaly: the debug dump
+        # must contain the inputs that produced a non-finite loss, not the
+        # already-poisoned post-update params (ref snapshot_fw/bw semantics)
+        prev_tstate = tstate
         if n_dp > 1:
             picked = []
             while len(picked) < n_dp:
@@ -341,16 +345,25 @@ def main(argv=None):
         # delayed-read overflow watch (no pipeline stall; see deque above)
         if pair_capacity is not None and "overflow" in metrics:
             overflow_lag.append(metrics["overflow"])
-            if len(overflow_lag) > OVERFLOW_LAG_STEPS or it == cfg.iterations:
+            if len(overflow_lag) > OVERFLOW_LAG_STEPS:
                 if int(overflow_lag.popleft()) > 0:
                     pair_capacity *= 2
                     print(f"[it {it}] rasterizer pair overflow — growing "
                           f"pair_capacity to {pair_capacity}")
                     step_fn, dp_step_fn = build_step_fns(pair_capacity)
                     overflow_lag.clear()
+            if it == cfg.iterations:
+                # drain the whole lag window so overflow in the final steps
+                # is at least reported (growing here would be pointless)
+                tail_overflow = sum(int(o) for o in overflow_lag)
+                overflow_lag.clear()
+                if tail_overflow > 0:
+                    print(f"[it {it}] WARNING: pair overflow in the final "
+                          f"{OVERFLOW_LAG_STEPS} steps ({tail_overflow} "
+                          f"dropped pairs) — those renders were truncated")
 
         if args.detect_anomaly and not np.isfinite(float(metrics["loss"])):
-            dump = dump_debug_state(args.model_path, it, tstate, last_cam)
+            dump = dump_debug_state(args.model_path, it, prev_tstate, last_cam)
             raise RuntimeError(
                 f"non-finite loss at iteration {it}; step inputs dumped to {dump}"
             )
@@ -390,7 +403,7 @@ def main(argv=None):
                       f"iter {iter_ms:.1f}ms "
                       f"({(time.time()-t_start):.0f}s)")
             if not np.isfinite(loss):
-                dump = dump_debug_state(args.model_path, it, tstate, last_cam)
+                dump = dump_debug_state(args.model_path, it, prev_tstate, last_cam)
                 raise RuntimeError(
                     f"non-finite loss at iteration {it}; step inputs dumped "
                     f"to {dump} (re-run with --detect_anomaly to catch the "
