@@ -510,6 +510,12 @@ def _bwd_kernel(cfg: _CompositeConfig):
                 + col(8) * g_b[None]
                 + col(9) * g_d[None]
             )
+            # NOTE r5: the fused (1-a, a*u) affine suffix scan (r3 lever
+            # (b)) was implemented and measured SLOWER here: bwd kernel
+            # 9.62 ms vs 8.97 for these two separate scans (the affine
+            # composition costs 5 vector passes/stage — two concats + three
+            # mul/adds — vs 4 for two independent scans, and the q_excl
+            # shift adds another; see PERF_NOTES r5).
             rp = _scan_leading2(one_m, jnp.multiply, 1.0, reverse=True)
             t_before = T[None] / rp  # >= T_EPS by construction, no underflow
             w = t_before * alpha  # == 0 where excluded
@@ -544,15 +550,31 @@ def _bwd_kernel(cfg: _CompositeConfig):
             Hb = jnp.sum(w * g_b[None], axis=1)
             Hd = jnp.sum(w * g_d[None], axis=1)
             D = jnp.concatenate([D0, D1, D2, Hr, Hg, Hb, Hd], axis=1)
-            # HIGHEST: f32-accurate (bf16x3) passes — basis entries like
-            # u^2=961 and the gradient partials exceed bf16's 8-bit mantissa
-            M = jax.lax.dot_general(
-                D,
-                basis,
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
+            # Manual bf16x3 decomposition — 3 DEFAULT MXU passes instead of
+            # HIGHEST's 6, at (better than) Precision.HIGH accuracy:
+            #   D@B = D_hi@B_hi + D_lo@B_hi + D_hi@B_lo  (+ D_lo@B_lo ~ 2^-16,
+            #   dropped). The basis entries are INTEGERS <= 961 (u, a, u^2,
+            #   u*a, a^2 on a 32x32 tile), so B_hi + B_lo is EXACT (a 10-bit
+            #   integer splits exactly into two 8-bit-mantissa bf16 parts);
+            #   the only error is the dropped D_lo@B_lo term, ~2^-16 relative
+            #   — below the f32 accumulation noise of the old HIGHEST form.
+            #   (Mosaic cannot lower Precision.HIGH in-kernel, and HIGHEST
+            #   measured ~1 ms/step slower than this; plain DEFAULT loses
+            #   the y^2 basis bits — see PERF_NOTES.)
+            D_hi = D.astype(jnp.bfloat16)
+            D_lo = (D - D_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            B_hi = basis.astype(jnp.bfloat16)
+            B_lo = (basis - B_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def mm(a, b):
+                return jax.lax.dot_general(
+                    a,
+                    b,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            M = mm(D_hi, B_hi) + (mm(D_lo, B_hi) + mm(D_hi, B_lo))
 
             def mc(j):
                 return M[:, j : j + 1]  # (K, 1)
