@@ -51,13 +51,16 @@ class AlignedBinning(NamedTuple):
     # first (an N-sized gather) — this drops a column from the hot
     # million-pair table gather.
     gaussian_order: jax.Array | None = None  # (N,) int32 depth argsort
-    # presort slot id per sorted pair + per-rank [start, end) boundaries in
-    # presort slot space — lets the attribute-expansion VJP segment-sum
-    # pair gradients with a sort + cumsum instead of a 1M-row scatter-add
-    # (TPU scatter costs ~11ms base + ~0.7ms/column at this size).
+    # presort slot id per sorted pair + per-rank pair offsets in presort
+    # slot space — lets the attribute-expansion VJP segment-sum pair
+    # gradients with a sort + cumsum instead of a 1M-row scatter-add
+    # (TPU scatter costs ~11ms base + ~0.7ms/column at this size). Rank r's
+    # pairs occupy presort slots [offsets_ext[r], offsets_ext[r+1]);
+    # inv_order maps an ORIGINAL Gaussian index to its depth rank, so the
+    # VJP can emit per-Gaussian sums directly in original row order.
     pair_slot: jax.Array | None = None  # (P_al,) int32
-    seg_start: jax.Array | None = None  # (N,) int32, clipped to capacity
-    seg_end: jax.Array | None = None  # (N,) int32, clipped to capacity
+    offsets_ext: jax.Array | None = None  # (N+1,) int32 unclipped
+    inv_order: jax.Array | None = None  # (N,) int32, inverse of gaussian_order
 
 
 def tile_rect(
@@ -163,11 +166,16 @@ def _analytic_tile_counts(
     ids = jnp.concatenate([ids1, ids2])
     deltas = jnp.concatenate([d1, d2])
 
-    sorted_ids, sorted_d = jax.lax.sort((ids, deltas), num_keys=1, is_stable=False)
+    # pack the +-1 delta into the key's low bit (deltas are only ever +-1):
+    # a single-array sort is measurably cheaper than key+payload at 8N
+    packed = jax.lax.sort(
+        ids * 2 + jnp.right_shift(deltas + 1, 1), is_stable=False
+    )
+    sorted_d = jnp.bitwise_and(packed, 1) * 2 - 1
     csum = jnp.cumsum(sorted_d)
     cpad = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum])
     bounds = jnp.searchsorted(
-        sorted_ids, jnp.arange(gy * gx + 1, dtype=jnp.int32), side="left"
+        packed, jnp.arange(gy * gx + 1, dtype=jnp.int32) * 2, side="left"
     )
     grid = (cpad[bounds[1:]] - cpad[bounds[:-1]]).reshape(gy, gx)
     counts2d = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
@@ -310,6 +318,10 @@ def build_aligned_binning(
             (tile_all, g_all, iota_all), num_keys=1, is_stable=True
         )
     offsets_ext = jnp.concatenate([offsets, total[None]])
+    # inverse of the depth permutation: one small (N,) sort — the expansion
+    # VJP uses it to emit per-Gaussian gradient sums directly in original
+    # row order, replacing the depth-permute's (N,16) scatter-add VJP
+    inv_order = jnp.argsort(dorder).astype(jnp.int32)
     return AlignedBinning(
         pair_gaussian=sorted_g,
         pair_valid=sorted_g < num_gaussians,
@@ -318,6 +330,6 @@ def build_aligned_binning(
         overflow=overflow,
         gaussian_order=dorder,
         pair_slot=sorted_slot,
-        seg_start=jnp.clip(offsets_ext[:-1], 0, pair_capacity),
-        seg_end=jnp.clip(offsets_ext[1:], 0, pair_capacity),
+        offsets_ext=offsets_ext,
+        inv_order=inv_order,
     )

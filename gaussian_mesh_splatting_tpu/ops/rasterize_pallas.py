@@ -713,29 +713,36 @@ def _int_zero_cotangent(x):
 
 @functools.lru_cache(maxsize=32)
 def _get_expand_pairs(pair_capacity: int):
-    """Gather per-pair attribute rows, with a sort+cumsum segment-sum VJP.
+    """Depth-permute + gather per-pair attribute rows, with a sort+cumsum
+    segment-sum VJP that lands gradients directly in ORIGINAL row order.
 
     The naive VJP of the (P_al,)-row gather is a scatter-add — ~11ms base
     + ~0.7ms/column at 1M pairs on TPU. Instead: sorting the cotangent
     rows by presort slot id exactly inverts the binning's tile sort (slots
     are unique), landing them in presort order where each depth-rank's
-    pairs are CONTIGUOUS with boundaries [seg_start, seg_end) — so the
-    per-Gaussian sums are one multi-payload sort + one cumsum + two wide
-    boundary gathers, no scatter anywhere."""
+    pairs are CONTIGUOUS with boundaries [offsets_ext[r], offsets_ext[r+1])
+    — so the per-Gaussian sums are one multi-payload sort + one cumsum +
+    one wide boundary gather, no scatter anywhere.
+
+    The depth permutation `attr[order_ext]` lives INSIDE this custom_vjp:
+    its autodiff VJP was a second (N,16) scatter-add (~0.9 ms/step);
+    gathering the segment boundaries through the inverse permutation
+    (`inv_order`) instead produces the gradient in original order for the
+    cost of one extra (2N,) int gather."""
 
     @jax.custom_vjp
-    def expand(attr_sorted, idx, slot, seg_start, seg_end):
-        a, i = jax.lax.optimization_barrier((attr_sorted, idx))
+    def expand(attr, order_ext, idx, slot, offsets_ext, inv_order):
+        a, i = jax.lax.optimization_barrier((attr[order_ext], idx))
         return a[i].T  # (ATTR_COLS, P_al)
 
-    def fwd(attr_sorted, idx, slot, seg_start, seg_end):
-        n_pad_row = attr_sorted.shape[0] - 1
-        return expand(attr_sorted, idx, slot, seg_start, seg_end), (
-            idx, slot, seg_start, seg_end, n_pad_row
+    def fwd(attr, order_ext, idx, slot, offsets_ext, inv_order):
+        n_pad_row = attr.shape[0] - 1
+        return expand(attr, order_ext, idx, slot, offsets_ext, inv_order), (
+            order_ext, idx, slot, offsets_ext, inv_order, n_pad_row
         )
 
     def bwd(res, ct):  # ct (ATTR_COLS, P_al)
-        idx, slot, seg_start, seg_end, n_pad_row = res
+        order_ext, idx, slot, offsets_ext, inv_order, n_pad_row = res
         # zero rows the kernel never wrote (invalid pairs sort into the
         # sentinel region beyond all tile ranges — uninitialized HBM).
         # Only the REAL_COLS attribute columns carry gradient — columns
@@ -760,12 +767,23 @@ def _get_expand_pairs(pair_capacity: int):
         cpad = jnp.concatenate(
             [jnp.zeros((1, REAL_COLS), ct.dtype), csum], axis=0
         )
-        cpad_b, s_b, e_b = jax.lax.optimization_barrier(
-            (cpad, seg_start, seg_end)
+        # Rank r's segment is [offsets_ext[r], offsets_ext[r+1]) — adjacent
+        # ranks SHARE a boundary point, so ONE (N+1,R) gather of the prefix
+        # at every offset + a diff yields every rank's sum; one more (N,R)
+        # take through the inverse depth permutation lands them in ORIGINAL
+        # row order, replacing the depth-permute's (N,16) scatter-add VJP.
+        # (TPU gathers cost ~per-index, not per-byte: merging boundaries
+        # into a 2N-index gather measured WORSE than 2x N-index gathers;
+        # this adjacency form needs only N+1 + N indices total.)
+        n = inv_order.shape[0]
+        cpad_b, off_b, inv_b = jax.lax.optimization_barrier(
+            (cpad, offsets_ext, inv_order)
         )
-        seg = cpad_b[e_b] - cpad_b[s_b]  # (N, R)
+        bounds = cpad_b[jnp.clip(off_b, 0, pair_capacity)]  # (N+1, R)
+        seg_rank = bounds[1:] - bounds[:-1]  # (N, R), depth-rank order
+        seg = jnp.take(seg_rank, inv_b, axis=0)  # (N, R), original order
         grad_attr = jnp.concatenate(
-            [seg, jnp.zeros((seg.shape[0], ct.shape[0] - REAL_COLS), ct.dtype)],
+            [seg, jnp.zeros((n, ct.shape[0] - REAL_COLS), ct.dtype)],
             axis=1,
         )
         grad_attr = jnp.concatenate(
@@ -773,10 +791,11 @@ def _get_expand_pairs(pair_capacity: int):
         )
         return (
             grad_attr,
+            _int_zero_cotangent(order_ext),
             _int_zero_cotangent(idx),
             _int_zero_cotangent(slot),
-            _int_zero_cotangent(seg_start),
-            _int_zero_cotangent(seg_end),
+            _int_zero_cotangent(offsets_ext),
+            _int_zero_cotangent(inv_order),
         )
 
     expand.defvjp(fwd, bwd)
@@ -929,19 +948,21 @@ def rasterize_pallas(
         ],
         axis=1,
     )
-    # pair ids are depth-RANK ids: permute attribute rows to depth order
-    # first (N-sized gather), keeping row N as the zero padding row
+    # pair ids are depth-RANK ids: attribute rows are permuted to depth
+    # order first (N-sized gather), keeping row N as the zero padding row.
+    # The permute + pair gather + segment-sum VJP live in ONE custom_vjp
+    # (_get_expand_pairs) so the backward needs no scatter anywhere.
     order_ext = jnp.concatenate(
         [aligned.gaussian_order, jnp.full((1,), n, jnp.int32)]
     )
     attr = jnp.concatenate([rows, jnp.zeros((1, ATTR_COLS), rows.dtype)], axis=0)
-    attr_sorted = jnp.take(attr, order_ext, axis=0)
     pair_attrs = _get_expand_pairs(pair_capacity)(
-        attr_sorted,
+        attr,
+        order_ext,
         aligned.pair_gaussian,
         aligned.pair_slot,
-        aligned.seg_start,
-        aligned.seg_end,
+        aligned.offsets_ext,
+        aligned.inv_order,
     )  # (16, P_al)
 
     cfg = _CompositeConfig(
