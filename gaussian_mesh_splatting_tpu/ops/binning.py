@@ -250,8 +250,20 @@ def build_aligned_binning(
     # time explosion otherwise)
     table, g = jax.lax.optimization_barrier((table, g))
     rows = table[g]
-    off_g = rows[:, 0]
-    xmin_g, ymin_g, sx_g = rows[:, 1], rows[:, 2], rows[:, 3]
+    # One explicit transpose to the compact (4, P) layout before extracting
+    # columns: the gathered (P, 4) row-major array is lane-PADDED 4 -> 128
+    # on TPU (~370 MB at bench scale), and the column-extraction fusion
+    # re-reads that padded buffer once PER column (~0.45 ms each). The
+    # transpose reads it once and writes 11.5 MB; the decode then runs on
+    # compact 1-D arrays. Measured: decode 1.96 -> ~0.6 ms (PERF_NOTES r5).
+    # (the reshape through 1-D forces the copy to actually materialize —
+    # a bare rows.T is a free layout re-label that leaves the reads padded)
+    p_cap = rows.shape[0]
+    rows_t = jax.lax.optimization_barrier(rows.T.reshape(-1))
+    off_g = rows_t[0 * p_cap : 1 * p_cap]
+    xmin_g = rows_t[1 * p_cap : 2 * p_cap]
+    ymin_g = rows_t[2 * p_cap : 3 * p_cap]
+    sx_g = rows_t[3 * p_cap : 4 * p_cap]
 
     local = p - off_g
     pvalid = p < total

@@ -757,12 +757,19 @@ def _get_expand_pairs(pair_capacity: int):
         # scale instead of ~P ulps of the global prefix (pair gradients can
         # sum to ~1000x a single gradient at 1M pairs; the one-level prefix
         # put small-gradient Gaussians within a hair of the 5e-4 tolerance).
+        # THREE-level within the 1024-blocks (32 x 32): the inner cumsums
+        # run log2(32)=5 full-tensor stages each instead of log2(1024)=10,
+        # with the mid-level stages on 1/32 of the data — same two-level
+        # rounding bound, ~40% fewer cumsum bytes
         blk = 1024
         nb = pair_capacity // blk  # capacity is a multiple of 1024
-        x = ct_presort.reshape(nb, blk, REAL_COLS)
-        bsum = jnp.sum(x, axis=1)
+        x = ct_presort.reshape(nb, 32, 32, REAL_COLS)
+        ssum = jnp.sum(x, axis=2)  # (nb, 32, R) subblock totals
+        spre = jnp.cumsum(ssum, axis=1) - ssum  # exclusive subblock prefix
+        within32 = jnp.cumsum(x, axis=2)
+        within = (spre[:, :, None, :] + within32).reshape(nb, blk, REAL_COLS)
+        bsum = jnp.sum(ssum, axis=1)  # (nb, R) block totals
         bpre = jnp.cumsum(bsum, axis=0) - bsum  # exclusive block prefix
-        within = jnp.cumsum(x, axis=1)
         csum = (bpre[:, None, :] + within).reshape(pair_capacity, REAL_COLS)
         cpad = jnp.concatenate(
             [jnp.zeros((1, REAL_COLS), ct.dtype), csum], axis=0
