@@ -104,10 +104,17 @@ def test_gradients_match_oracle():
     import functools
 
     loss_ref = make_loss(functools.partial(rasterize_reference, tile_size=(TILE_H, TILE_W)))
-    loss_pal = make_loss(functools.partial(rasterize_pallas, interpret=True))
+    # grad_precision="f32" is the EXACT segment-sum path (5e-4 conformance);
+    # the default "bf16" packs sort payloads and is checked below at its
+    # own measured tolerance
+    loss_pal = make_loss(
+        functools.partial(rasterize_pallas, interpret=True, grad_precision="f32")
+    )
+    loss_pal_bf16 = make_loss(functools.partial(rasterize_pallas, interpret=True))
 
     g_ref, go_ref = jax.grad(loss_ref, argnums=(0, 1))(scene_raw, offset)
     g_pal, go_pal = jax.grad(loss_pal, argnums=(0, 1))(scene_raw, offset)
+    g_bf, go_bf = jax.grad(loss_pal_bf16, argnums=(0, 1))(scene_raw, offset)
 
     for name in g_ref:
         a, b = np.asarray(g_ref[name]), np.asarray(g_pal[name])
@@ -116,9 +123,19 @@ def test_gradients_match_oracle():
             b, a, atol=5e-4 * scale + 1e-7, err_msg=f"grad mismatch: {name}"
         )
         assert np.abs(a).max() > 0, f"oracle grad identically zero for {name}?"
+        # default bf16-payload path: per-pair grads rounded to bf16 before
+        # the f32 segment sum — measured <= 0.9% of max |grad| on this
+        # scene class (PERF_NOTES r5); 3e-2 bounds it with margin
+        c = np.asarray(g_bf[name])
+        np.testing.assert_allclose(
+            c, a, atol=3e-2 * scale + 1e-7, err_msg=f"bf16 grad mismatch: {name}"
+        )
     # screen-space mean gradients (densification signal)
     a, b = np.asarray(go_ref), np.asarray(go_pal)
     np.testing.assert_allclose(b, a, atol=5e-4 * np.abs(a).max() + 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(go_bf), a, atol=3e-2 * np.abs(a).max() + 1e-8
+    )
 
 
 def test_pallas_under_jit_and_value_grad():
