@@ -256,7 +256,17 @@ def main(argv=None):
     from ..utils.profiling import MetricsLogger
     from . import network_gui
 
-    cams = scene.train_cameras
+    # Pin every GT image to DEVICE memory up front: re-uploading a 800x800
+    # float image per step costs more than the train step itself on a
+    # tunneled TPU (~7.7 MB/step; measured ~6x step slowdown at scale).
+    # The reference re-uploads per iteration (train.py .cuda() each step);
+    # HBM is large enough to do better — 100 cameras at 800x800 is 0.77 GB.
+    # Fall back to host arrays if the dataset would not fit (~1/4 of HBM).
+    gt_bytes = sum(np.asarray(g).nbytes for _, g in scene.train_cameras)
+    if gt_bytes <= 4 << 30:
+        cams = [(c, jnp.asarray(g)) for c, g in scene.train_cameras]
+    else:
+        cams = scene.train_cameras
     order: list[int] = []
     logger = MetricsLogger(args.model_path, tensorboard=True)
     t_start = time.time()

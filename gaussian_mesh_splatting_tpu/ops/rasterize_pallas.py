@@ -77,6 +77,15 @@ _VREG_W = 128
 # autodiff of that unpacking.
 ATTR_COLS = 16  # [mx, my, ca, cb, cc, opacity, r, g, b, depth, pad...]
 REAL_COLS = 10  # attribute columns that carry data (the rest is alignment)
+# bf16 split-attribute layout (attr_precision="bf16", the default): the 16
+# bf16 columns hold [mx_hi, mx_lo, my_hi, my_lo, ca_hi, ca_lo, cb_hi,
+# cb_lo, cc_hi, cc_lo, op_hi, op_lo, r, g, b, depth]. The hi/lo pairs are
+# an exact two-bf16 decomposition of the f32 value (reconstruction error
+# ~2^-16 relative), so screen-space means, conics and opacity keep full
+# precision; colors and depth are plain bf16 (<= 0.2% relative — under
+# half an 8-bit output quantization step). The table, its million-row
+# gather, and the kernel DMA all move HALF the f32 bytes.
+_SPLIT_GRAD_COLS = (0, 2, 4, 6, 8, 10, 12, 13, 14, 15)  # cols w/ gradient
 
 
 class _CompositeConfig(NamedTuple):
@@ -87,6 +96,11 @@ class _CompositeConfig(NamedTuple):
     chunk: int
     pair_capacity_aligned: int
     interpret: bool
+    attr_dtype: str = "bf16"  # "bf16" (split layout above) | "f32"
+
+
+def _attr_jnp_dtype(cfg: _CompositeConfig):
+    return jnp.bfloat16 if cfg.attr_dtype == "bf16" else jnp.float32
 
 
 def _pixel_coords_full(t, n_tiles_x, row_off=0):
@@ -119,13 +133,27 @@ def _unpack_plane(p, n_tiles_y, n_tiles_x):
     return x.reshape(n_tiles_y * TILE_H, n_tiles_x * TILE_W)
 
 
-def _chunk_columns(block):
-    """(16, K) VMEM block value -> per-attribute (K, 1, 1) columns."""
-    at = jnp.swapaxes(block, 0, 1)  # (K, 16)
+def _chunk_columns(block, split):
+    """(16, K) VMEM block value -> per-attribute (K, 1, 1) columns.
+
+    `col(i)` always indexes the LOGICAL attributes [mx, my, ca, cb, cc,
+    op, r, g, b, depth]; with `split` (bf16 table) the first six are
+    reconstructed as hi + lo column pairs. The bf16->f32 conversion runs
+    on the small (16, K) block before the transpose — the expensive
+    (K, 8, 128) tensors downstream are always f32."""
+    at = jnp.swapaxes(block.astype(jnp.float32), 0, 1)  # (K, 16)
     K = at.shape[0]
 
-    def col(i):
-        return at[:, i : i + 1].reshape(K, 1, 1)
+    if split:
+        def col(i):
+            if i < 6:
+                return (
+                    at[:, 2 * i : 2 * i + 1] + at[:, 2 * i + 1 : 2 * i + 2]
+                ).reshape(K, 1, 1)
+            return at[:, i + 6 : i + 7].reshape(K, 1, 1)
+    else:
+        def col(i):
+            return at[:, i : i + 1].reshape(K, 1, 1)
 
     return at, col
 
@@ -260,7 +288,7 @@ def _fwd_kernel(cfg: _CompositeConfig):
                 dma((ci + 1) % 2, ci + 1).start()
 
             dma(slot, ci).wait()
-            at, col = _chunk_columns(buf[slot])
+            at, col = _chunk_columns(buf[slot], cfg.attr_dtype == "bf16")
             alpha, _ = _alpha_matrix(col, px, py, ci * chunk, count, chunk)
             one_m = 1.0 - alpha  # == 1 where masked (alpha == 0)
             t_incl = T[None] * _scan_leading2(one_m, jnp.multiply, 1.0)
@@ -353,7 +381,7 @@ def _composite_fwd(cfg: _CompositeConfig, pair_attrs, tile_start, tile_count, ro
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[block, block, block, block, block, block],
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_COLS, cfg.chunk), jnp.float32),
+            pltpu.VMEM((2, ATTR_COLS, cfg.chunk), _attr_jnp_dtype(cfg)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -495,7 +523,7 @@ def _bwd_kernel(cfg: _CompositeConfig):
 
             dma_in(slot, ci).wait()
             block = buf[slot]
-            at, col = _chunk_columns(block)
+            at, col = _chunk_columns(block, cfg.attr_dtype == "bf16")
             alpha_c, alpha_raw = _alpha_matrix(col, px, py, ci * chunk, count, chunk)
             pos = ci * chunk + jax.lax.broadcasted_iota(
                 jnp.int32, (chunk, 1, 1), 0
@@ -588,13 +616,20 @@ def _bwd_kernel(cfg: _CompositeConfig):
             Suv = Sua + S1u
             Svv = Saa + 2.0 * S1a + S2
 
-            at2 = jnp.swapaxes(block, 0, 1)  # (K, 16)
-            mxc = at2[:, 0:1]
-            myc = at2[:, 1:2]
-            ca = at2[:, 2:3]
-            cb = at2[:, 3:4]
-            cc = at2[:, 4:5]
-            op = at2[:, 5:6]
+            # `at` from _chunk_columns is the f32 (K, 16) view of the block
+            if cfg.attr_dtype == "bf16":
+                def a2(i):  # hi + lo reconstruction, logical col i
+                    return at[:, 2 * i : 2 * i + 1] + at[:, 2 * i + 1 : 2 * i + 2]
+
+                mxc, myc = a2(0), a2(1)
+                ca, cb, cc, op = a2(2), a2(3), a2(4), a2(5)
+            else:
+                mxc = at[:, 0:1]
+                myc = at[:, 1:2]
+                ca = at[:, 2:3]
+                cb = at[:, 3:4]
+                cc = at[:, 4:5]
+                op = at[:, 5:6]
 
             mlx = mxc - tx0  # per-pair mean in tile-local coords
             mly = myc - ty0
@@ -617,11 +652,21 @@ def _bwd_kernel(cfg: _CompositeConfig):
             d_z = mc(13)
             zero = jnp.zeros_like(m0)
 
-            grads = jnp.concatenate(
-                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_cr, d_cg,
-                 d_cb_col, d_z, zero, zero, zero, zero, zero, zero],
-                axis=1,
-            )
+            if cfg.attr_dtype == "bf16":
+                # gradient columns must mirror the split table layout: the
+                # full gradient rides the hi column (the lo column's VJP
+                # contribution to the f32 value is identically zero)
+                grads = jnp.concatenate(
+                    [d_mx, zero, d_my, zero, d_ca, zero, d_cb, zero,
+                     d_cc, zero, d_op, zero, d_cr, d_cg, d_cb_col, d_z],
+                    axis=1,
+                )
+            else:
+                grads = jnp.concatenate(
+                    [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_cr, d_cg,
+                     d_cb_col, d_z, zero, zero, zero, zero, zero, zero],
+                    axis=1,
+                )
             # double-buffered output DMA: wait only for the copy issued two
             # iterations ago (same slot) before overwriting — the previous
             # start();wait() pair serialized an HBM round-trip into every
@@ -631,7 +676,8 @@ def _bwd_kernel(cfg: _CompositeConfig):
             def _():
                 dma_grads_out(oslot, ci + 2).wait()
 
-            gbuf[oslot] = jnp.swapaxes(grads, 0, 1)  # (16, K)
+            # swap in f32 FIRST, then cast — bf16 transposes relayout badly
+            gbuf[oslot] = jnp.swapaxes(grads, 0, 1).astype(gbuf.dtype)  # (16, K)
             dma_grads_out(oslot, ci).start()
             return (cj + 1, T, S)
 
@@ -676,8 +722,8 @@ def _composite_bwd(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_COLS, cfg.chunk), jnp.float32),
-            pltpu.VMEM((2, ATTR_COLS, cfg.chunk), jnp.float32),  # grads out (2 slots)
+            pltpu.VMEM((2, ATTR_COLS, cfg.chunk), _attr_jnp_dtype(cfg)),
+            pltpu.VMEM((2, ATTR_COLS, cfg.chunk), _attr_jnp_dtype(cfg)),  # grads out (2 slots)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -685,12 +731,12 @@ def _composite_bwd(
     # the output alias hands the kernel a pre-zeroed buffer so the kernel
     # never writes the (majority) zero-gradient chunks past each tile's
     # last contributor; operand index 11 counts the 3 scalar-prefetch args
-    zeros = jnp.zeros((ATTR_COLS, cfg.pair_capacity_aligned), jnp.float32)
+    zeros = jnp.zeros((ATTR_COLS, cfg.pair_capacity_aligned), _attr_jnp_dtype(cfg))
     (pair_grads,) = pl.pallas_call(
         _bwd_kernel(cfg),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ATTR_COLS, cfg.pair_capacity_aligned), jnp.float32)
+            jax.ShapeDtypeStruct((ATTR_COLS, cfg.pair_capacity_aligned), _attr_jnp_dtype(cfg))
         ],
         input_output_aliases={11: 0},
         # each tile writes a disjoint [start, start+count) pair range of the
@@ -736,7 +782,9 @@ def _unpack_bf16_pair(w):
 
 
 @functools.lru_cache(maxsize=32)
-def _get_expand_pairs(pair_capacity: int, grad_precision: str = "bf16"):
+def _get_expand_pairs(
+    pair_capacity: int, grad_precision: str = "bf16", attr_split: bool = True
+):
     """Depth-permute + gather per-pair attribute rows, with a sort+cumsum
     segment-sum VJP that lands gradients directly in ORIGINAL row order.
 
@@ -783,7 +831,10 @@ def _get_expand_pairs(pair_capacity: int, grad_precision: str = "bf16"):
         # [REAL_COLS, ATTR_COLS) are alignment padding with zero cotangent
         # by construction, so the sort hauls 11 payloads, not 17.
         mask = idx != n_pad_row
-        rows = tuple(jnp.where(mask, ct[c], 0.0) for c in range(REAL_COLS))
+        grad_cols = _SPLIT_GRAD_COLS if attr_split else tuple(range(REAL_COLS))
+        rows = tuple(
+            jnp.where(mask, ct[c].astype(jnp.float32), 0.0) for c in grad_cols
+        )
         if grad_precision == "bf16":
             packed = tuple(
                 _pack_bf16_pair(rows[2 * i], rows[2 * i + 1])
@@ -818,7 +869,7 @@ def _get_expand_pairs(pair_capacity: int, grad_precision: str = "bf16"):
         bpre = jnp.cumsum(bsum, axis=0) - bsum  # exclusive block prefix
         csum = (bpre[:, None, :] + within).reshape(pair_capacity, REAL_COLS)
         cpad = jnp.concatenate(
-            [jnp.zeros((1, REAL_COLS), ct.dtype), csum], axis=0
+            [jnp.zeros((1, REAL_COLS), jnp.float32), csum], axis=0
         )
         # Rank r's segment is [offsets_ext[r], offsets_ext[r+1]) — adjacent
         # ranks SHARE a boundary point, so ONE (N+1,R) gather of the prefix
@@ -835,13 +886,22 @@ def _get_expand_pairs(pair_capacity: int, grad_precision: str = "bf16"):
         bounds = cpad_b[jnp.clip(off_b, 0, pair_capacity)]  # (N+1, R)
         seg_rank = bounds[1:] - bounds[:-1]  # (N, R), depth-rank order
         seg = jnp.take(seg_rank, inv_b, axis=0)  # (N, R), original order
+        if attr_split:
+            # scatter the 10 summed gradient columns back into the 16-col
+            # split layout: logical col i<6 -> hi column 2i (zero lo), then
+            # the four plain columns; cast to the bf16 cotangent dtype
+            inter = jnp.stack(
+                [seg[:, :6], jnp.zeros((n, 6), jnp.float32)], axis=2
+            ).reshape(n, 12)
+            grad_attr = jnp.concatenate([inter, seg[:, 6:]], axis=1)
+        else:
+            grad_attr = jnp.concatenate(
+                [seg, jnp.zeros((n, ct.shape[0] - REAL_COLS), jnp.float32)],
+                axis=1,
+            )
         grad_attr = jnp.concatenate(
-            [seg, jnp.zeros((n, ct.shape[0] - REAL_COLS), ct.dtype)],
-            axis=1,
-        )
-        grad_attr = jnp.concatenate(
-            [grad_attr, jnp.zeros((1, ct.shape[0]), ct.dtype)], axis=0
-        )
+            [grad_attr, jnp.zeros((1, ct.shape[0]), jnp.float32)], axis=0
+        ).astype(ct.dtype)
         return (
             grad_attr,
             _int_zero_cotangent(order_ext),
@@ -927,6 +987,7 @@ def rasterize_pallas(
     alive: jax.Array | None = None,
     radius_mode: str = "tight",
     grad_precision: str = "bf16",
+    attr_precision: str = "bf16",
     pair_capacity: int | None = None,
     chunk: int = 128,
     interpret: bool | None = None,
@@ -940,6 +1001,17 @@ def rasterize_pallas(
     building block for sharding one large render across devices (the
     "tile/pixel parallel" axis, SURVEY.md §2.3). The returned image then
     has num_row_tiles*8 rows and the caller assembles shards.
+
+    Precision knobs (defaults measured PSNR-identical in training and
+    ~9% faster per step at bench scale — PERF_NOTES r5):
+      attr_precision: "bf16" (default) stores the pair-attribute table in
+        the 16-column bf16 split layout (exact hi/lo bf16 pairs for
+        mean2d/conic/opacity; plain bf16 colors + depth, <= 0.2% relative
+        — under half an 8-bit output step). "f32" is bit-conformant to
+        the oracle at the 2e-5/5e-4 test tolerances.
+      grad_precision: "bf16" (default) packs the expansion-VJP sort
+        payloads as bf16 pairs (per-pair gradients rounded to bf16 before
+        the f32 segment sum). "f32" keeps exact payloads.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -991,17 +1063,35 @@ def rasterize_pallas(
 
     # per-Gaussian attribute rows (+1 zero row for padding slots), gathered
     # to pair order then laid out SoA (16, P) for lane-aligned DMA slices
-    rows = jnp.concatenate(
-        [
-            proj.mean2d,
-            proj.conic,
-            proj.opacity[:, None],
-            proj.color,
-            proj.depth[:, None],
-            jnp.zeros((n, ATTR_COLS - 10), jnp.float32),
-        ],
-        axis=1,
-    )
+    attr_split = attr_precision == "bf16"
+    if attr_split:
+        # split bf16 layout (see the _SPLIT_GRAD_COLS note): exact hi/lo
+        # bf16 pairs for mean2d/conic/opacity, plain bf16 colors + depth —
+        # the table and every downstream pass move half the f32 bytes.
+        # Autodiff: d(lo)/d(value) == 0, so the full cotangent rides the
+        # hi columns (which is where the bwd kernel writes it).
+        base = jnp.concatenate(
+            [proj.mean2d, proj.conic, proj.opacity[:, None]], axis=1
+        )  # (N, 6) f32
+        hi = base.astype(jnp.bfloat16)
+        lo = (base - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        split_cols = jnp.stack([hi, lo], axis=2).reshape(n, 12)
+        plain = jnp.concatenate(
+            [proj.color, proj.depth[:, None]], axis=1
+        ).astype(jnp.bfloat16)
+        rows = jnp.concatenate([split_cols, plain], axis=1)  # (N, 16) bf16
+    else:
+        rows = jnp.concatenate(
+            [
+                proj.mean2d,
+                proj.conic,
+                proj.opacity[:, None],
+                proj.color,
+                proj.depth[:, None],
+                jnp.zeros((n, ATTR_COLS - 10), jnp.float32),
+            ],
+            axis=1,
+        )
     # pair ids are depth-RANK ids: attribute rows are permuted to depth
     # order first (N-sized gather), keeping row N as the zero padding row.
     # The permute + pair gather + segment-sum VJP live in ONE custom_vjp
@@ -1010,7 +1100,7 @@ def rasterize_pallas(
         [aligned.gaussian_order, jnp.full((1,), n, jnp.int32)]
     )
     attr = jnp.concatenate([rows, jnp.zeros((1, ATTR_COLS), rows.dtype)], axis=0)
-    pair_attrs = _get_expand_pairs(pair_capacity, grad_precision)(
+    pair_attrs = _get_expand_pairs(pair_capacity, grad_precision, attr_split)(
         attr,
         order_ext,
         aligned.pair_gaussian,
@@ -1027,6 +1117,7 @@ def rasterize_pallas(
         chunk=chunk,
         pair_capacity_aligned=aligned_capacity,
         interpret=bool(interpret),
+        attr_dtype=attr_precision,
     )
     composite = _get_composite(cfg)
     row_off = jnp.asarray(row_tile_offset, jnp.int32).reshape(1)

@@ -79,17 +79,18 @@ def test_pallas_backward_emits_real_gradients():
     )
 
     # (b) correctness vs the oracle on the same tiny scene. The DEFAULT
-    # path packs per-pair gradient sort payloads as bf16 (grad_precision
-    # "bf16", measured <= 0.9% relative error vs the exact path at bench
-    # scale) — 3e-2 is far looser than that but still catches any real
-    # backward defect; the exact-path 5e-4 conformance lives in the slow
-    # tier (test_raster_pallas.py) with grad_precision="f32".
+    # path stores bf16 split attributes AND packs gradient sort payloads
+    # as bf16 (measured <= 4e-2 relative error vs the oracle, dominated
+    # by the hi/lo mean2d split at global pixel coordinates) — 8e-2 is
+    # looser than that but still catches any real backward defect; the
+    # exact-path 5e-4 conformance lives in the slow tier
+    # (test_raster_pallas.py) with grad/attr_precision="f32".
     for name in g_ref:
         a, b = np.asarray(g_ref[name]), np.asarray(g_pal[name])
         scale = max(np.abs(a).max(), 1e-8)
         np.testing.assert_allclose(
-            b, a, atol=3e-2 * scale + 1e-7, err_msg=f"grad mismatch: {name}"
+            b, a, atol=8e-2 * scale + 1e-7, err_msg=f"grad mismatch: {name}"
         )
         assert np.abs(a).max() > 0, f"oracle grad identically zero for {name}?"
     a, b = np.asarray(go_ref), np.asarray(go_pal)
-    np.testing.assert_allclose(b, a, atol=3e-2 * max(np.abs(a).max(), 1e-8) + 1e-7)
+    np.testing.assert_allclose(b, a, atol=8e-2 * max(np.abs(a).max(), 1e-8) + 1e-7)

@@ -21,6 +21,10 @@ BG = jnp.array([0.1, 0.2, 0.3])
 
 
 def _both(scene, cam, **kw):
+    """Oracle vs the EXACT Pallas mode (attr_precision=f32) — the strict
+    conformance pairing. The default bf16 split-attribute mode has its own
+    measured-tolerance test (test_default_bf16_mode_matches_oracle)."""
+    attr_precision = kw.pop("attr_precision", "f32")
     common = dict(
         bg=BG, shs=scene["shs"], sh_degree=kw.pop("sh_degree", 2), **kw
     )
@@ -30,9 +34,38 @@ def _both(scene, cam, **kw):
     )
     out_pal = rasterize_pallas(
         scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
-        cam, interpret=True, **common,
+        cam, interpret=True, attr_precision=attr_precision, **common,
     )
     return out_ref, out_pal
+
+
+def test_default_bf16_mode_matches_oracle():
+    """The DEFAULT mode stores colors/depth as plain bf16 (means, conics
+    and opacity are exact hi/lo bf16 pairs): measured forward error is
+    ~1.7e-3 on the image (under half an 8-bit output quantization step),
+    ~8e-5 on alpha, ~0.35% relative on depth. Bound it with margin."""
+    scene = activated(random_scene(jax.random.key(0), n=64))
+    cam = test_camera(width=128, height=32)
+    common = dict(bg=BG, shs=scene["shs"], sh_degree=2)
+    out_ref = rasterize_reference(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, tile_size=(TILE_H, TILE_W), **common,
+    )
+    out_pal = rasterize_pallas(
+        scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
+        cam, interpret=True, **common,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pal.image), np.asarray(out_ref.image), atol=6e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pal.alpha), np.asarray(out_ref.alpha), atol=5e-4
+    )
+    d_scale = max(float(np.abs(np.asarray(out_ref.depth)).max()), 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_pal.depth), np.asarray(out_ref.depth),
+        atol=1e-2 * d_scale,
+    )
 
 
 def test_forward_matches_oracle_small():
@@ -108,7 +141,10 @@ def test_gradients_match_oracle():
     # the default "bf16" packs sort payloads and is checked below at its
     # own measured tolerance
     loss_pal = make_loss(
-        functools.partial(rasterize_pallas, interpret=True, grad_precision="f32")
+        functools.partial(
+            rasterize_pallas, interpret=True,
+            grad_precision="f32", attr_precision="f32",
+        )
     )
     loss_pal_bf16 = make_loss(functools.partial(rasterize_pallas, interpret=True))
 
@@ -123,18 +159,20 @@ def test_gradients_match_oracle():
             b, a, atol=5e-4 * scale + 1e-7, err_msg=f"grad mismatch: {name}"
         )
         assert np.abs(a).max() > 0, f"oracle grad identically zero for {name}?"
-        # default bf16-payload path: per-pair grads rounded to bf16 before
-        # the f32 segment sum — measured <= 0.9% of max |grad| on this
-        # scene class (PERF_NOTES r5); 3e-2 bounds it with margin
+        # full default path (bf16 split attrs + bf16 sort payloads):
+        # measured <= 4e-2 of max |grad| on this scene class (the hi/lo
+        # mean2d split at global pixel coordinates dominates; PERF_NOTES
+        # r5); 8e-2 bounds it with margin while still catching any real
+        # backward defect
         c = np.asarray(g_bf[name])
         np.testing.assert_allclose(
-            c, a, atol=3e-2 * scale + 1e-7, err_msg=f"bf16 grad mismatch: {name}"
+            c, a, atol=8e-2 * scale + 1e-7, err_msg=f"bf16 grad mismatch: {name}"
         )
     # screen-space mean gradients (densification signal)
     a, b = np.asarray(go_ref), np.asarray(go_pal)
     np.testing.assert_allclose(b, a, atol=5e-4 * np.abs(a).max() + 1e-8)
     np.testing.assert_allclose(
-        np.asarray(go_bf), a, atol=3e-2 * np.abs(a).max() + 1e-8
+        np.asarray(go_bf), a, atol=8e-2 * np.abs(a).max() + 1e-8
     )
 
 
@@ -186,7 +224,7 @@ def test_colors_override_path():
     )
     out_pal = rasterize_pallas(
         scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
-        cam, bg=BG, colors=colors, interpret=True,
+        cam, bg=BG, colors=colors, interpret=True, attr_precision="f32",
     )
     np.testing.assert_allclose(
         np.asarray(out_pal.image), np.asarray(out_ref.image), atol=2e-5
@@ -208,10 +246,11 @@ def test_cov3d_precomp_path():
     out_a = rasterize_pallas(
         scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
         cam, bg=BG, shs=scene["shs"], sh_degree=1, interpret=True,
+        attr_precision="f32",
     )
     out_b = rasterize_pallas(
         scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
-        cam, bg=BG, shs=scene["shs"], sh_degree=1, cov3d_precomp=cov6, interpret=True,
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, cov3d_precomp=cov6, interpret=True, attr_precision="f32",
     )
     np.testing.assert_allclose(
         np.asarray(out_b.image), np.asarray(out_a.image), atol=1e-5
@@ -228,7 +267,7 @@ def test_antialiasing_matches_oracle():
     )
     out_pal = rasterize_pallas(
         scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
-        cam, bg=BG, shs=scene["shs"], sh_degree=1, antialiasing=True, interpret=True,
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, antialiasing=True, interpret=True, attr_precision="f32",
     )
     np.testing.assert_allclose(
         np.asarray(out_pal.image), np.asarray(out_ref.image), atol=2e-5
@@ -245,7 +284,7 @@ def test_scale_modifier():
     )
     out_pal = rasterize_pallas(
         scene["means3d"], scene["scales"], scene["rotations"], scene["opacities"],
-        cam, bg=BG, shs=scene["shs"], sh_degree=1, scale_modifier=0.5, interpret=True,
+        cam, bg=BG, shs=scene["shs"], sh_degree=1, scale_modifier=0.5, interpret=True, attr_precision="f32",
     )
     np.testing.assert_allclose(
         np.asarray(out_pal.image), np.asarray(out_ref.image), atol=2e-5
