@@ -396,6 +396,15 @@ def main(argv=None):
                 )
                 if not args.quiet and int(info["overflow"]) > 0:
                     print(f"[it {it}] densify overflow: {int(info['overflow'])} dropped")
+                n_pruned = int(info["n_pruned"])
+                if not args.quiet and n_pruned > 0.5 * max(int(info["n_alive"]), 1):
+                    print(
+                        f"[it {it}] WARNING: densify pruned {n_pruned} "
+                        f"(opacity {int(info['n_pruned_opacity'])}, "
+                        f"screen {int(info['n_pruned_screen'])}, "
+                        f"world {int(info['n_pruned_world'])}) — "
+                        f"{int(info['n_alive'])} alive"
+                    )
             if it % cfg.opacity_reset_interval == 0 or (
                 args.white_background and it == cfg.densify_from_iter
             ):

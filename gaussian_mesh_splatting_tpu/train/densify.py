@@ -77,17 +77,27 @@ def densify_and_prune(
     max_scale = jnp.max(scaling_act, axis=-1)
     opacity_act = jax.nn.sigmoid(p["opacity"][:, 0])
 
-    prune_mask = alive & (opacity_act < min_opacity)
+    opacity_prune = alive & (opacity_act < min_opacity)
     big_vs = state.stats.max_radii > size_threshold
     big_ws = max_scale > 0.1 * extent
     prune_mask = jnp.where(
-        size_threshold > 0, prune_mask | (alive & (big_vs | big_ws)), prune_mask
+        size_threshold > 0, opacity_prune | (alive & (big_vs | big_ws)),
+        opacity_prune,
     )
 
-    # rows being pruned are not worth replicating: in the reference their
-    # clones/split-children inherit the disqualifying opacity/size and are
-    # pruned within the same densify_and_prune call (gaussian_model.py:400-412)
-    hot = alive & (grads >= grad_threshold) & ~prune_mask
+    # Only OPACITY-pruned rows are excluded from densification: their
+    # clones/split-children inherit the disqualifying opacity and would be
+    # pruned within the same reference call (gaussian_model.py:400-412).
+    # SIZE-pruned rows (screen radius > 20 px / world extent) must still
+    # densify — in the reference their children survive the same-pass
+    # prune because densification_postfix re-zeroes max_radii2D and split
+    # children carry scale/1.6. Excluding them (the r4 behavior) caused a
+    # population EXTINCTION at 800x800 scale: after the iteration-3000
+    # opacity reset enabled size pruning, nearly every splat exceeded the
+    # fixed 20 px screen threshold, was pruned childless each event, and
+    # the model collapsed from 47k to 4 Gaussians (caught by the r5
+    # at-scale convergence run; regression test in tests/test_densify.py).
+    hot = alive & (grads >= grad_threshold) & ~opacity_prune
     clone_mask = hot & (max_scale <= percent_dense * extent)
     split_mask = hot & (max_scale > percent_dense * extent)
 
@@ -222,6 +232,15 @@ def densify_and_prune(
         "n_pruned": jnp.sum(alive & (prune_mask | split_mask)),
         "n_alive": jnp.sum(new_alive),
         "overflow": jnp.clip(n_clone + n_split_rows - free, 0, None),
+        # prune-reason breakdown (observability: a mass extinction after an
+        # opacity reset looks identical to healthy cleanup in n_pruned)
+        "n_pruned_opacity": jnp.sum(alive & (opacity_act < min_opacity)),
+        "n_pruned_screen": jnp.sum(
+            jnp.where(size_threshold > 0, alive & big_vs, False)
+        ),
+        "n_pruned_world": jnp.sum(
+            jnp.where(size_threshold > 0, alive & big_ws, False)
+        ),
     }
     return new_state, info
 

@@ -169,3 +169,58 @@ def test_grow_capacity_preserves_rows():
     g = jax.tree.map(jnp.ones_like, grown.params)
     updates, _ = tx.update(g, tx.init(grown.params), grown.params)
     optax.apply_updates(grown.params, updates)
+
+
+def test_screen_size_pruned_rows_still_densify():
+    """Reference parity: a Gaussian pruned for SCREEN SIZE (max_radii2D >
+    size_threshold) must still clone/split when its gradient is hot — in
+    the reference its children survive the same-pass prune because
+    densification_postfix zeroes max_radii2D and split children carry
+    scale/1.6 (gaussian_model.py:369-374, 400-412). Excluding size-pruned
+    rows from densification caused a population extinction at 800x800
+    scale (round-5 at-scale run: 47k -> 4 Gaussians after the iteration-
+    3000 opacity reset enabled size pruning)."""
+    tstate, tx, cfg = _state_with_capacity()
+    stats = tstate.stats
+    # every alive row: hot gradient AND over the screen-size threshold
+    n = 8
+    ga = stats.grad_accum.at[:n].set(1.0)
+    dn = stats.denom.at[:n].set(1.0)
+    mr = stats.max_radii.at[:n].set(50.0)  # > size_threshold 20
+    tstate = tstate.replace(
+        stats=stats.replace(grad_accum=ga, denom=dn, max_radii=mr)
+    )
+    new_state, info = densify_and_prune(
+        tstate, jax.random.key(3),
+        grad_threshold=2e-4, min_opacity=0.005, extent=1e6,
+        percent_dense=0.0,  # tiny percent_dense => everything splits
+        size_threshold=20.0, scaling_cols=3,
+    )
+    # all 8 originals pruned for size, but each left 2 split children
+    assert int(info["n_pruned"]) == n
+    assert int(info["n_pruned_screen"]) == n
+    assert int(info["n_alive"]) == 2 * n, (
+        "size-pruned rows must leave split children (reference parity)"
+    )
+    # children start with zeroed stats (so they are NOT size-pruned next)
+    assert float(jnp.max(new_state.stats.max_radii)) == 0.0
+
+
+def test_opacity_pruned_rows_do_not_densify():
+    """Opacity-pruned rows die childless: reference children inherit the
+    sub-threshold opacity and are pruned in the same call."""
+    tstate, tx, cfg = _state_with_capacity()
+    p = dict(tstate.params)
+    p["opacity"] = jnp.full_like(p["opacity"], -10.0)  # sigmoid ~ 4.5e-5
+    stats = tstate.stats
+    ga = stats.grad_accum.at[:8].set(1.0)
+    dn = stats.denom.at[:8].set(1.0)
+    tstate = tstate.replace(
+        params=p, stats=stats.replace(grad_accum=ga, denom=dn)
+    )
+    new_state, info = densify_and_prune(
+        tstate, jax.random.key(4),
+        grad_threshold=2e-4, min_opacity=0.005, extent=1e6,
+        percent_dense=0.0, size_threshold=20.0, scaling_cols=3,
+    )
+    assert int(info["n_alive"]) == 0
