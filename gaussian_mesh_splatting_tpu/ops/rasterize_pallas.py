@@ -841,14 +841,16 @@ def _get_expand_pairs(
                 for i in range(REAL_COLS // 2)
             )
             out = jax.lax.sort((slot, *packed), num_keys=1, is_stable=False)
-            cols = []
-            for w in out[1:]:
-                a, b = _unpack_bf16_pair(w)
-                cols.extend((a, b))
+            # stack the PACKED columns (half the bytes of stacking 10 f32
+            # columns), slice to capacity, then unpack vectorized
+            pk = jnp.stack(out[1:], axis=1)[:pair_capacity]  # (P, R/2) i32
+            a, b = _unpack_bf16_pair(pk)
+            ct_presort = jnp.stack([a, b], axis=2).reshape(
+                pair_capacity, REAL_COLS
+            )
         else:
             out = jax.lax.sort((slot, *rows), num_keys=1, is_stable=False)
-            cols = list(out[1:])
-        ct_presort = jnp.stack(cols, axis=1)[:pair_capacity]  # (P, R)
+            ct_presort = jnp.stack(out[1:], axis=1)[:pair_capacity]  # (P, R)
         # two-level cumsum: per-block prefix sums combined with a block-level
         # prefix keep rounding error at ~(B + P/B) ulps of the local segment
         # scale instead of ~P ulps of the global prefix (pair gradients can
